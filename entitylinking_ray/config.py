@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+Mirrors the layered-config role of the reference's ``e2e/config.py:10-122``
+(class defaults + overlay), re-expressed as a frozen dataclass whose hash
+keys checkpoint lineage: a stage result is reusable on resume only if it
+was produced under the same config hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- signature extraction ---
+    shingle_k: int = 3  # char shingles of the normalized mention name
+
+    # --- MinHash / LSH blocking (SURVEY §7.2 step 3) ---
+    minhash_perms: int = 64
+    lsh_bands: int = 16  # bands * rows == minhash_perms
+    lsh_rows: int = 4
+
+    # --- blocking skew control (SURVEY §7.4 "hot blocking keys") ---
+    # Blocks with <= max_full_block_size members emit all O(n^2) pairs;
+    # larger (hot) blocks fall back to a deterministic sorted-neighborhood
+    # window of this width, bounding pairs per block at n * window.
+    max_full_block_size: int = 64
+    hot_block_window: int = 8
+
+    # --- pair scoring (J11-analog weighted fusion) ---
+    w_jaro_winkler: float = 0.5
+    w_token_set: float = 0.2
+    w_cosine: float = 0.3
+    edge_threshold: float = 0.84
+
+    # --- embedding (deterministic hashing encoder; ST1/ST2 analog) ---
+    embed_dim: int = 64
+
+    # --- union-find ---
+    max_cc_rounds: int = 25
+
+    # --- execution sizing ---
+    score_batch_size: int = 8192
+    encoder_concurrency: int = 4
+
+    # --- synthesis (tests/bench corpora) ---
+    seed: int = 42
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def config_hash(self) -> str:
+        d = asdict(self)
+        d.pop("extra", None)
+        return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()[:12]
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,66 @@
+"""Deterministic hashing text encoder + cosine kernels.
+
+Plays the role of the reference's sentence-transformer embedding stages
+(``OneNet/data_process.py:193-215`` ST1, ``Sparkle/database.py:141-183``
+ST2) without a model download: a feature-hashing encoder over character
+3-gram shingles, L2-normalized, fully deterministic. The class is built to
+be used as a ``map_batches`` actor-pool callable — all setup happens in
+``__init__`` once per actor; a real SentenceTransformer encoder can be
+swapped in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from entitylinking_ray.functions.hashing import char_shingle_hashes
+
+
+class HashingEncoder:
+    """Deterministic text → R^dim encoder (feature hashing, signed)."""
+
+    def __init__(self, dim: int = 64, seed: int = 42, shingle_k: int = 3):
+        self.dim = dim
+        self.seed = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        self.shingle_k = shingle_k
+
+    def encode(self, texts) -> np.ndarray:
+        """Encode a sequence of strings to an (n, dim) float32 matrix with
+        unit L2 norm rows (zero vector stays zero)."""
+        n = len(texts)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        dim = np.uint64(self.dim)
+        for i in range(n):
+            h = char_shingle_hashes(texts[i], self.shingle_k) ^ self.seed
+            buckets = (h % dim).astype(np.int64)
+            signs = np.where((h >> np.uint64(17)) & np.uint64(1), 1.0, -1.0).astype(
+                np.float32
+            )
+            np.add.at(out[i], buckets, signs)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+
+def cosine_rowwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-by-row cosine of two (n, d) matrices (inputs need not be unit)."""
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    den[den == 0] = 1.0
+    return num / den
+
+
+def cosine_topk(queries: np.ndarray, corpus: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Brute-force cosine top-k: returns (indices, scores) each (nq, k),
+    ranked by score desc then corpus index asc (deterministic ties).
+
+    The ``np.dot + argsort`` idiom mirrors the reference's dense retrieval
+    (``Sparkle/database.py:165-183``), batched over all queries at once.
+    """
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    cn = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-30)
+    scores = qn @ cn.T  # (nq, n)
+    # stable ties: sort by (-score, index)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    top_scores = np.take_along_axis(scores, order, axis=1)
+    return order, top_scores

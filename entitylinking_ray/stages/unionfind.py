@@ -1,0 +1,183 @@
+"""Stage 4 — distributed union-find / connected components over an edge list.
+
+Replaces the reference's per-document in-memory entity graph with mutable
+propagation (``e2e/systems/graph_system.py:953-1006`` ST6/J13) with an
+iterative min-label algorithm on hash-partitioned edge lists (SURVEY §7.2
+step 5). Each round:
+
+1. **neighbor propagation** — hash-join the symmetric edge list with the
+   label table on the source node, turning every edge ``(u, v)`` into a
+   proposal ``(v, label(u))``; union with current labels; per-node
+   ``Min`` aggregate (a groupby shuffle) yields the new labels.
+2. **pointer jumping** — ``label(x) <- label(label(x))`` via a self-join of
+   the label table (labels only decrease, so ``label(label(x)) <=
+   label(x)``). This collapses long chains in O(log n) rounds where
+   neighbor propagation alone needs O(diameter) — hot blocks emit windowed
+   (chain-like) pairs, not cliques, so this matters.
+
+Convergence: labels are monotonically non-increasing (string min), so the
+fixpoint is reached iff a round changes nothing; detected by a stable
+checksum aggregate — no driver-side materialization of the label table.
+Deterministic: cluster id = lexicographically-smallest member id,
+independent of task order and batch boundaries.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from entitylinking_ray.config import EngineConfig
+
+
+def _num_partitions() -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus)
+
+
+def _checksum(labels: ray.data.Dataset) -> int:
+    def partial(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_pylist()
+        labs = batch.column("label").to_pylist()
+        s = 0
+        for n, l in zip(nodes, labs):
+            s = (s + zlib.crc32(f"{n}={l}".encode())) & 0xFFFFFFFFFFFFFFFF
+        return pa.table({"partial": pa.array([s], type=pa.uint64())})
+
+    res = labels.map_batches(partial, batch_format="pyarrow").aggregate(Sum("partial"))
+    return int(res["sum(partial)"] or 0)
+
+
+def symmetrize_edges(
+    edges: ray.data.Dataset, a_col: str = "doc_id_a", b_col: str = "doc_id_b"
+) -> ray.data.Dataset:
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "nbr": pa.concat_arrays([b, a]),
+            }
+        )
+
+    return edges.map_batches(sym, batch_format="pyarrow")
+
+
+def _distinct_nodes(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.groupby("node").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    node_col: str = "node",
+    config: EngineConfig | None = None,
+) -> ray.data.Dataset:
+    """Return a Dataset (node, label): label = min node id in the component.
+
+    ``nodes`` (a Dataset with column ``node_col``) may supply isolated
+    nodes; endpoints of ``edges`` are always included.
+    """
+    cfg = config or EngineConfig()
+    nparts = _num_partitions()
+    edges_sym = symmetrize_edges(edges, a_col, b_col).materialize()
+    n_edges = edges_sym.count()
+
+    identity = lambda b: pa.table(  # noqa: E731
+        {"node": b.column("node"), "label": b.column("node")}
+    )
+    if n_edges == 0:
+        # no edges: every supplied node is its own singleton cluster (an
+        # empty dataset would otherwise lose its schema and break joins)
+        if nodes is None:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+            )
+        extra = nodes.select_columns([node_col])
+        if node_col != "node":
+            extra = extra.rename_columns({node_col: "node"})
+        return extra.map_batches(identity, batch_format="pyarrow")
+
+    all_nodes = edges_sym.select_columns(["node"])
+    if nodes is not None:
+        extra = nodes.select_columns([node_col])
+        if node_col != "node":
+            extra = extra.rename_columns({node_col: "node"})
+        all_nodes = all_nodes.union(extra)
+    labels = (
+        _distinct_nodes(all_nodes)
+        .map_batches(identity, batch_format="pyarrow")
+        .materialize()
+    )
+
+    prev_sum = _checksum(labels)
+    for _round in range(cfg.max_cc_rounds):
+        # 1) neighbor propagation: edge (u, v) proposes label(u) to v
+        joined = edges_sym.join(
+            labels, join_type="inner", num_partitions=nparts, on=("node",)
+        )  # columns: node, nbr, label
+        proposals = joined.map_batches(
+            lambda b: pa.table({"node": b.column("nbr"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        ).union(labels)
+        labels = (
+            proposals.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+
+        # 2) pointer jumping: label(x) <- label(label(x))
+        jumped = labels.join(
+            labels,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("label",),
+            right_on=("node",),
+            left_suffix="_l",
+            right_suffix="_r",
+        )
+        labels = jumped.map_batches(_jump_project, batch_format="pyarrow").materialize()
+
+        cur_sum = _checksum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _jump_project(batch: pa.Table) -> pa.Table:
+    """Project the label self-join back to (node, label(label(node)))."""
+    cols = batch.column_names
+    # left row: (node, label); right row matched on right.node == left.label,
+    # contributing its label. Column names depend on suffix collision rules.
+    node_col = "node" if "node" in cols else "node_l"
+    lab_col = "label_r" if "label_r" in cols else "label"
+    return pa.table(
+        {"node": batch.column(node_col), "label": batch.column(lab_col)}
+    )
+
+
+def clusters_from_labels(labels: ray.data.Dataset) -> ray.data.Dataset:
+    """Rename the union-find output to the CLUSTERS schema."""
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
