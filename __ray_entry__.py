@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the ``entitylinking_ray`` library) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship entity-resolution pipeline over the canonical
+  interleaved text+media corpus, sized from the sf0.001 documents table.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (see ``entitylinking_ray.queries``).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics
+  are SQL-expressible (rows-only checks otherwise).
 """
 
 from __future__ import annotations
@@ -20,25 +19,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns a Dataset of
+    (doc_id, cluster_id) cluster assignments."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.config import EngineConfig
+    from entitylinking_ray.pipelines.entity_resolution import resolve_entities
+    from entitylinking_ray.sources.documents import synthesize_documents
+
+    n_rows = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    docs = synthesize_documents(max(200, 2 * n_rows), seed=42)
+    return resolve_entities(docs, EngineConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entitylinking_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entitylinking_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,169 @@
+"""Paired-comparison ranking models: Bradley-Terry-Luce, Plackett-Luce,
+Davidson — iterative MM/EM fits over tournament experiments.
+
+Reference parity: ``Sparkle/algorithms.py:17-265`` (A10-A12) fits these
+models over experiments ``{winners: [ids], losers: [ids]}`` produced by
+LLM tournaments; the engine keeps the same estimators as a per-group
+``map_groups`` primitive (each mention's tournament block is small, so the
+iterative fit runs inside one group task — SURVEY §2.5).
+
+All fits are deterministic: fixed iteration cap, 1e-6 convergence, final
+ranking sorted by (strength desc, id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pairs_from_experiments(experiments: list[dict]) -> list[tuple[str, str]]:
+    """Expand experiments to (winner, loser) pairs."""
+    out = []
+    for e in experiments:
+        for w in e["winners"]:
+            for l in e["losers"]:
+                out.append((w, l))
+    return out
+
+
+def _ids_of(experiments: list[dict]) -> list[str]:
+    ids = set()
+    for e in experiments:
+        ids.update(e["winners"])
+        ids.update(e["losers"])
+    return sorted(ids)
+
+
+def fit_bradley_terry(
+    experiments: list[dict], max_iter: int = 100, tol: float = 1e-6
+) -> list[tuple[str, float]]:
+    """MM fit of Bradley-Terry-Luce strengths from win/loss pairs; returns
+    [(id, strength)] sorted by strength desc then id asc, strengths
+    normalized to sum to n (reference normalization style)."""
+    ids = _ids_of(experiments)
+    if not ids:
+        return []
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    pairs = _pairs_from_experiments(experiments)
+    if not pairs:
+        return [(d, 1.0) for d in ids]
+    wins = np.zeros(n)
+    comp = np.zeros((n, n))
+    for w, l in pairs:
+        wins[idx[w]] += 1
+        comp[idx[w], idx[l]] += 1
+        comp[idx[l], idx[w]] += 1
+    p = np.ones(n)
+    for _ in range(max_iter):
+        denom = p[:, None] + p[None, :]
+        np.fill_diagonal(denom, 1.0)
+        expected = (comp / denom).sum(axis=1)
+        new_p = np.where(expected > 0, wins / np.maximum(expected, 1e-12), p)
+        new_p = np.maximum(new_p, 1e-12)
+        new_p = new_p * n / new_p.sum()
+        if np.abs(new_p - p).max() < tol:
+            p = new_p
+            break
+        p = new_p
+    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+    return [(ids[i], float(p[i])) for i in order]
+
+
+def fit_plackett_luce(
+    experiments: list[dict], max_iter: int = 100, tol: float = 1e-6
+) -> list[tuple[str, float]]:
+    """MM fit of Plackett-Luce from sequential-choice experiments: each
+    experiment is read as a partial ranking (winners, in order, above all
+    losers)."""
+    ids = _ids_of(experiments)
+    if not ids:
+        return []
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    rankings: list[list[int]] = []
+    for e in experiments:
+        order = [idx[w] for w in e["winners"]] + [idx[l] for l in e["losers"]]
+        if len(order) >= 2:
+            rankings.append(order)
+    if not rankings:
+        return [(d, 1.0) for d in ids]
+    w_count = np.zeros(n)
+    for r in rankings:
+        for pos in range(len(r) - 1):
+            w_count[r[pos]] += 1
+    p = np.ones(n)
+    for _ in range(max_iter):
+        denom_sum = np.zeros(n)
+        for r in rankings:
+            tail = p[r]
+            suffix = np.cumsum(tail[::-1])[::-1]  # sum of p over suffix
+            for pos in range(len(r) - 1):
+                inv = 1.0 / max(suffix[pos], 1e-12)
+                denom_sum[r[pos:]] += inv
+        new_p = np.where(denom_sum > 0, w_count / np.maximum(denom_sum, 1e-12), p)
+        new_p = np.maximum(new_p, 1e-12)
+        new_p = new_p * n / new_p.sum()
+        if np.abs(new_p - p).max() < tol:
+            p = new_p
+            break
+        p = new_p
+    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+    return [(ids[i], float(p[i])) for i in order]
+
+
+def fit_davidson(
+    experiments: list[dict],
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    tie_nu: float = 0.5,
+) -> list[tuple[str, float]]:
+    """Davidson model: Bradley-Terry with a tie parameter nu; experiments
+    may carry a ``ties: [[a, b], ...]`` list. With no ties it reduces to a
+    tie-smoothed BT fit."""
+    ids = _ids_of(experiments)
+    for e in experiments:
+        for t in e.get("ties", []):
+            ids = sorted(set(ids) | set(t))
+    if not ids:
+        return []
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    pairs = _pairs_from_experiments(experiments)
+    ties = [tuple(t) for e in experiments for t in e.get("ties", [])]
+    if not pairs and not ties:
+        return [(d, 1.0) for d in ids]
+    wins = np.zeros(n)
+    comp = np.zeros((n, n))
+    for w, l in pairs:
+        wins[idx[w]] += 1
+        comp[idx[w], idx[l]] += 1
+        comp[idx[l], idx[w]] += 1
+    tie_cnt = np.zeros(n)
+    for a, b in ties:
+        comp[idx[a], idx[b]] += 1
+        comp[idx[b], idx[a]] += 1
+        tie_cnt[idx[a]] += 0.5
+        tie_cnt[idx[b]] += 0.5
+    p = np.ones(n)
+    for _ in range(max_iter):
+        pi, pj = p[:, None], p[None, :]
+        denom = pi + pj + tie_nu * np.sqrt(pi * pj)
+        np.fill_diagonal(denom, 1.0)
+        expected = (comp * (pi + 0.5 * tie_nu * np.sqrt(pi * pj)) / denom).sum(axis=1) / np.maximum(p, 1e-12)
+        new_p = np.where(expected > 0, (wins + tie_cnt) / np.maximum(expected, 1e-12), p)
+        new_p = np.maximum(new_p, 1e-12)
+        new_p = new_p * n / new_p.sum()
+        if np.abs(new_p - p).max() < tol:
+            p = new_p
+            break
+        p = new_p
+    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+    return [(ids[i], float(p[i])) for i in order]
+
+
+RANKERS = {
+    "btl": fit_bradley_terry,
+    "plackett_luce": fit_plackett_luce,
+    "davidson": fit_davidson,
+}

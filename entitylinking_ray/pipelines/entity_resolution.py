@@ -1,0 +1,125 @@
+"""Flagship pipeline: documents -> signatures -> blocking -> pair scoring
+-> union-find -> clusters (SURVEY §3.4 target architecture).
+
+Two entry points:
+- ``resolve_entities(docs)`` — pure in-memory/streamed composition, no
+  checkpointing; used by tests, ``entry()`` and the oracle-equality checks.
+- ``run_checkpointed(input_path, workdir)`` — every stage writes Parquet
+  atomically and records lineage in ``manifest.json``; a killed run
+  resumes at the last committed stage (north-rule resumability).
+
+The reference analog is the OneNet multi-step lifecycle (§3.1) where each
+stage materializes a JSONL file; here materialization is an explicit
+checkpoint boundary, not the default (the uncheckpointed path streams
+block-to-block with backpressure).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+import ray.data
+
+from entitylinking_ray.config import EngineConfig
+from entitylinking_ray.sources.documents import read_documents
+from entitylinking_ray.stages.blocking import block_keys, candidate_pairs
+from entitylinking_ray.stages.scoring import score_pairs
+from entitylinking_ray.stages.signatures import extract_signatures
+from entitylinking_ray.stages.unionfind import clusters_from_labels, connected_components
+from entitylinking_ray.state.manifest import Manifest
+
+
+def _nodes_of(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    return sigs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+
+
+def resolve_entities(
+    docs: ray.data.Dataset, config: EngineConfig | None = None
+) -> ray.data.Dataset:
+    """documents -> clusters Dataset (doc_id, cluster_id); streaming, no
+    checkpoints. Singletons are preserved (every doc_id appears)."""
+    cfg = config or EngineConfig()
+    sigs = extract_signatures(docs, cfg)
+    pairs = candidate_pairs(block_keys(sigs, cfg), cfg)
+    edges = score_pairs(pairs, cfg)
+    labels = connected_components(edges, nodes=_nodes_of(sigs), config=cfg)
+    return clusters_from_labels(labels)
+
+
+def run_checkpointed(
+    input_path: str,
+    workdir: str,
+    config: EngineConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Checkpointed flagship run. Returns a summary dict with per-stage
+    counters (rows, wall seconds) and the final clusters path.
+
+    Stage layout under ``workdir``::
+
+        manifest.json
+        stage=signatures/   stage=pairs/   stage=edges/   stage=clusters/
+
+    Fingerprint = (input_path, config hash, upstream stage fingerprint), so
+    editing the config or input invalidates exactly the affected suffix of
+    the pipeline.
+    """
+    cfg = config or EngineConfig()
+    man = Manifest(workdir)
+    summary: dict = {"workdir": workdir, "stages": {}}
+
+    def run_stage(name: str, fingerprint: str, build) -> tuple[ray.data.Dataset, str]:
+        """Build-or-load one stage; returns (dataset, fingerprint)."""
+        if resume and man.is_complete(name, fingerprint):
+            summary["stages"][name] = {"resumed": True}
+            return ray.data.read_parquet(man.stage_dir(name)), fingerprint
+        t0 = time.time()
+        ds = build()
+        tmp = man.open_tmp(name)
+        ds.write_parquet(tmp)
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+            # empty result: persist an explicit empty file so the schema
+            # survives the round-trip (read_parquet on an empty dir fails)
+            import pyarrow.parquet as pq
+
+            schema = ds.schema()
+            pq.write_table(
+                pa.Table.from_pylist([], schema=pa.schema(
+                    list(zip(schema.names, schema.types))
+                )),
+                os.path.join(tmp, "empty.parquet"),
+            )
+        out = ray.data.read_parquet(tmp)
+        rows = out.count()
+        man.commit(name, fingerprint, rows, time.time() - t0)
+        summary["stages"][name] = {"resumed": False, "rows": rows,
+                                   "wall_sec": round(time.time() - t0, 3)}
+        return ray.data.read_parquet(man.stage_dir(name)), fingerprint
+
+    ch = cfg.config_hash()
+    base_fp = f"{input_path}|{ch}"
+
+    sigs, fp_s = run_stage(
+        "signatures", f"sig|{base_fp}",
+        lambda: extract_signatures(read_documents(input_path), cfg),
+    )
+    pairs, fp_p = run_stage(
+        "pairs", f"pairs|{fp_s}", lambda: candidate_pairs(block_keys(sigs, cfg), cfg)
+    )
+    edges, fp_e = run_stage("edges", f"edges|{fp_p}", lambda: score_pairs(pairs, cfg))
+    clusters, _ = run_stage(
+        "clusters",
+        f"clusters|{fp_e}",
+        lambda: clusters_from_labels(
+            connected_components(edges, nodes=_nodes_of(sigs), config=cfg)
+        ),
+    )
+    summary["clusters_path"] = man.stage_dir("clusters")
+    summary["counters"] = man.counters()
+    return summary

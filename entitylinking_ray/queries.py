@@ -1,0 +1,954 @@
+"""Driver-contract query catalog: one Ray Data implementation per operator
+class from SURVEY §2, each with a DuckDB oracle-SQL twin where the
+semantics are SQL-expressible (non-SQL ops get rows-only checks).
+
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and the SQL (the driver sorts columns by name and hashes
+values). Float discipline: where an aggregate's accumulation order can
+differ between engines, both sides round half-away-from-zero (DuckDB's
+mode for DOUBLE) to a precision far coarser than the accumulated error;
+where both sides evaluate the identical expression on identical scalars,
+no rounding is applied (bit-equal by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from entitylinking_ray.config import EngineConfig
+from entitylinking_ray.functions.strsim import jaro_winkler_batch, levenshtein
+from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id, quality_score
+from entitylinking_ray.functions.textnorm import normalize
+from entitylinking_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_dedup
+from entitylinking_ray.stages.knn import brute_force_knn
+from entitylinking_ray.stages.unionfind import connected_components
+
+
+def _rha(x: np.ndarray, d: int) -> np.ndarray:
+    """Round half away from zero (DuckDB DOUBLE round semantics)."""
+    m = 10.0**d
+    return np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
+
+
+def _fixed(arr, scale: int) -> pa.Array:
+    """Exact fixed-point encoding: money-like columns with <= ``scale``
+    decimal digits become int64 units, so distributed sums are EXACT and
+    engine-independent (a double sum's last-ulp wobble can flip a rounding
+    boundary — observed: 2947585.685 rounding to .68 vs .69)."""
+    x = np.asarray(arr, dtype=np.float64)
+    return pa.array(np.round(x * scale).astype(np.int64), pa.int64())
+
+
+# SQL twin of ``_fixed`` + sum + rescale: exact integer aggregation.
+def _sql_fixed_sum(expr: str, scale: int, alias: str) -> str:
+    return (
+        f"sum(CAST(round({expr} * {scale}) AS BIGINT)) / CAST({scale} AS DOUBLE) AS {alias}"
+    )
+
+
+def _t(sf_dir: str, name: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _nparts() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (M/A/J/K/D ops on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """M-ops: vectorized filter + computed column, column-pruned read."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1995-09-01"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
+"""
+
+
+def q_agg_groupby(sf_dir: str):
+    """A-ops (TPC-H Q1 shape): groupby-aggregate with per-batch partial
+    pre-aggregation done by Ray's hash aggregate."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_fixed(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        base = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = base * (
+            1.0 - b["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": _fixed(qty, 100),
+                "base_c": _fixed(base, 100),
+                "disc_c": _fixed(disc, 10000),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_fixed, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def rescale(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(b["qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(b["base_c"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(b["disc_c"], pa.float64()), 10000.0),
+                "count_order": b["count_order"],
+            }
+        )
+
+    return out.map_batches(rescale, batch_format="pyarrow")
+
+
+SQL_AGG_GROUPBY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_fixed_sum("l_quantity", 100, "sum_qty")},
+       {_sql_fixed_sum("l_extendedprice", 100, "sum_base_price")},
+       {_sql_fixed_sum("l_extendedprice * (1 - l_discount)", 10000, "sum_disc_price")},
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_dims(sf_dir: str):
+    """J1 analog: 3-way broadcast hash join (small dims shipped once via
+    ray.put, looked up inside map_batches — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class AddRegion:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["c_nationkey"].to_pylist()
+            rname = [self.lookup[k] for k in keys]
+            return pa.table(
+                {
+                    "r_name": pa.array(rname, pa.string()),
+                    "bal_c": _fixed(b["c_acctbal"].to_numpy(zero_copy_only=False), 100),
+                }
+            )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    out = (
+        cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("bal_c", alias_name="bal_c"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "r_name": b["r_name"],
+                "n_customers": b["n_customers"],
+                "sum_bal": pc.divide(pc.cast(b["bal_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_DIMS = f"""
+SELECT r_name, count(*) AS n_customers, {_sql_fixed_sum("c_acctbal", 100, "sum_bal")}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_large(sf_dir: str):
+    """Large-large hash join (Dataset.join) + aggregate + broadcast dim:
+    revenue per customer."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = b["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - b["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "rev_c": _fixed(r, 10000)}
+        )
+
+    j = li.map_batches(rev, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=_nparts(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = j.groupby("o_custkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["o_custkey"],
+                "revenue": pc.divide(pc.cast(b["rev_c"], pa.float64()), 10000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JOIN_LARGE = f"""
+SELECT o_custkey AS c_custkey,
+       {_sql_fixed_sum("l_extendedprice * (1 - l_discount)", 10000, "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """J2 analog: semi-join via broadcast key set (no shuffle)."""
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+        )
+        .filter(pc.equal(pc.field("o_orderstatus"), "O"))["o_custkey"]
+        .to_pylist()
+    )
+    kref = ray.put(keys)
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(kref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys for k in b["c_custkey"].to_pylist()])
+            return b.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(SemiFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """J3 analog: anti-join via broadcast key set (customers with no
+    'P'-status order — a predicate that leaves a non-empty result)."""
+    import pyarrow.parquet as pq
+
+    otbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    keys = set(
+        otbl.filter(pc.equal(otbl["o_orderstatus"], "P"))["o_custkey"].to_pylist()
+    )
+    kref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(kref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys for k in b["c_custkey"].to_pylist()])
+            return b.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+def q_topk(sf_dir: str):
+    """K1: global top-k with deterministic tie-break."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_group_topk(sf_dir: str):
+    """K1 per-group: top-3 line items by price within each order (subset)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    sub = ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["l_orderkey"], 31), 0)),
+        batch_format="pyarrow",
+    )
+
+    def top3(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("l_extendedprice", "descending"), ("l_linenumber", "ascending")]
+        )
+        return g.take(order[:3])
+
+    return sub.groupby("l_orderkey").map_groups(top3, batch_format="pyarrow")
+
+
+SQL_GROUP_TOPK = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE (l_orderkey & 31) = 0
+QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) <= 3
+"""
+
+
+def q_distinct(sf_dir: str):
+    """D4: distinct values via hash-partitioned groupby."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+SQL_DISTINCT = "SELECT DISTINCT lang FROM documents"
+
+
+def q_minmax_norm(sf_dir: str):
+    """M19: global min-max normalization (two-pass: tiny aggregate, then a
+    broadcast map — no full materialization)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    agg = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = agg["min(o_totalprice)"], agg["max(o_totalprice)"]
+    rng = (hi - lo) or 1.0
+
+    def norm(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "norm_price": (x - lo) / rng}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_MINMAX_NORM = """
+SELECT o_orderkey,
+       (o_totalprice - (SELECT min(o_totalprice) FROM orders))
+     / ((SELECT max(o_totalprice) FROM orders) - (SELECT min(o_totalprice) FROM orders))
+       AS norm_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+def q_textstats(sf_dir: str):
+    """Token counting + lexical-diversity quality scoring (identical
+    float expressions both sides — no rounding needed)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        toks = [normalize(t or "").split(" ") for t in texts]
+        n_tok = [len([x for x in t if x]) for t in toks]
+        n_dis = [len({x for x in t if x}) for t in toks]
+        ratio = [d / n if n else 0.0 for d, n in zip(n_dis, n_tok)]
+        qual = [quality_score(t or "") for t in texts]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "distinct_ratio": pa.array(ratio, pa.float64()),
+                "quality": pa.array(qual, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TEXTSTATS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split({_NORM_SQL}, ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS distinct_ratio,
+       0.5 * least(1.0, len(t) / 100.0)
+     + 0.5 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE)) AS quality
+FROM toks
+"""
+
+
+def q_langid(sf_dir: str):
+    """Stopword-marker language ID (deterministic argmax, ties by code)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def li(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang_pred": pa.array(
+                    [lang_id(t or "") for t in b["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(li, batch_format="pyarrow")
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        parts = " + ".join(
+            f"CASE WHEN list_contains(t, '{m}') THEN 1 ELSE 0 END"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    gt = ", ".join(f"s_{l}" for l in langs)
+    case = [f"WHEN greatest({gt}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS t FROM documents
+), scores AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM toks
+)
+SELECT doc_id, {case_sql} AS lang_pred FROM scores
+"""
+
+
+SQL_LANGID = _langid_sql()
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 of normalized text)."""
+    from entitylinking_ray.stages.dedup import add_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_fingerprint(ds, "text").select_columns(["doc_id", "fingerprint"])
+
+
+SQL_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dedup (no SQL oracle: LSH banding is not
+    SQL-expressible; rows-only check, full correctness in pytest)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dedup (rows-only check)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# string-similarity kernels as queries (DuckDB twins are built in)
+# ---------------------------------------------------------------------------
+
+def q_jaro_winkler(sf_dir: str):
+    """All supplier-name pairs scored with Jaro-Winkler (kernel verified
+    bit-exact against DuckDB's jaro_winkler_similarity)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    keys = sup["s_suppkey"].to_pylist()
+    names = sup["s_name"].to_pylist()
+    ref = ray.put((keys, names))
+
+    class CrossJW:
+        def __init__(self):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ia, ib, na, nb = [], [], [], []
+            for i in b["i"].to_pylist():
+                for j in range(i + 1, len(self.keys)):
+                    ia.append(self.keys[i]); ib.append(self.keys[j])
+                    na.append(self.names[i]); nb.append(self.names[j])
+            jw = jaro_winkler_batch(na, nb) if na else np.array([], dtype=np.float64)
+            return pa.table(
+                {
+                    "id_a": pa.array(ia, pa.int64()),
+                    "id_b": pa.array(ib, pa.int64()),
+                    "jw": pa.array(jw, pa.float64()),
+                }
+            )
+
+    idx = ray.data.range(len(keys)).map_batches(
+        lambda b: pa.table({"i": b["id"]}), batch_format="pyarrow"
+    )
+    return idx.map_batches(CrossJW, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_JARO_WINKLER = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       jaro_winkler_similarity(a.s_name, b.s_name) AS jw
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+"""
+
+
+def q_levenshtein(sf_dir: str):
+    """Levenshtein distances between part names sharing a brand (bucketed
+    pair generation, exact-integer kernel)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["p_partkey"])
+        g = g.take(order)
+        keys = g["p_partkey"].to_pylist()
+        names = g["p_name"].to_pylist()
+        ia, ib, dist = [], [], []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                ia.append(keys[i]); ib.append(keys[j])
+                dist.append(levenshtein(names[i], names[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return ds.groupby("p_brand").map_groups(pairs, batch_format="pyarrow")
+
+
+SQL_LEVENSHTEIN = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windows, sessions, union-find with a recursive-SQL oracle
+# ---------------------------------------------------------------------------
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def win(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                # string window key: engine-neutral (pandas datetime64[ns]
+                # vs DuckDB timestamp[us] hash differently)
+                "window_start": b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_type": b["event_type"],
+                "val_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        return out
+
+    agg = (
+        ds.map_batches(win, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("val_c", alias_name="val_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b["window_start"],
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "sum_value": pc.divide(pc.cast(b["val_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_HOURLY = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, {_sql_fixed_sum("value", 100, "sum_value")}
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the engine's
+    streaming-shaped pattern: partition by key, sort by ts within the
+    group, stateful pass inside map_groups."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        g["session_id"] = gap.cumsum().astype("int64") + 1
+        return g[["event_id", "user_id", "session_id"]]
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+"""
+
+
+def q_unionfind_events(sf_dir: str):
+    """Distributed union-find with a recursive-SQL oracle: users are
+    connected when they co-occur in the same (event_type, hour) bucket;
+    component id = min user_id reachable. Exercises the engine's real
+    connected_components stage (SURVEY §7.2 step 5)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["h"] = b["ts"].dt.floor("h")
+        return b[["user_id", "event_type", "h"]].drop_duplicates()
+
+    buckets = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "event_type", "h"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        users = sorted(set(g["user_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(users)):
+            for j in range(i + 1, len(users)):
+                a.append(f"u{users[i]:012d}")
+                b.append(f"u{users[j]:012d}")
+        return pa.table(
+            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())}
+        )
+
+    edges = (
+        buckets.groupby(["event_type", "h"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    nodes = ds.map_batches(
+        lambda b: pa.table(
+            {"node": pa.array([f"u{u:012d}" for u in set(b["user_id"].to_pylist())], pa.string())}
+        ),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    labels = connected_components(edges, nodes=nodes, a_col="id_a", b_col="id_b")
+    # zero-padded ids make lexicographic min == numeric min, matching SQL
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pa.array(
+                    [int(n[1:]) for n in b["node"].to_pylist()], pa.int64()
+                ),
+                "component": pa.array(
+                    [int(l[1:]) for l in b["label"].to_pylist()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_UNIONFIND_EVENTS = """
+WITH RECURSIVE buckets AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events
+), edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM buckets a JOIN buckets b
+    ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+), nodes AS (
+  SELECT DISTINCT user_id AS n FROM events
+), reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+)
+SELECT n AS user_id, min(m) AS component FROM reach GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + centroids
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-10: queries = vec_id < 5, corpus = rest.
+    Output is rank-only (ids, not float scores) for cross-engine equality;
+    both sides order by (cosine desc, vec_id asc)."""
+    import pyarrow.parquet as pq
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(qtbl["vec_id"], 5)
+    qtbl = qtbl.filter(mask).sort_by("vec_id")
+    qids = qtbl["vec_id"].to_pylist()
+    queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
+    )
+    out = brute_force_knn(corpus, queries, k=10, vec_col="embedding", id_col="vec_id")
+    qmap = {i: qids[i] for i in range(len(qids))}
+
+    def remap(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [qmap[q] for q in b["query_id"].to_pylist()], pa.int64()
+                ),
+                "rank": b["rank"],
+                "vec_id": pa.array(
+                    [int(v) for v in b["vec_id"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(remap, batch_format="pyarrow")
+
+
+SQL_KNN_BRUTEFORCE = """
+SELECT q.vec_id AS query_id,
+       row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, r.embedding) DESC, r.vec_id
+       ) AS "rank",
+       r.vec_id AS vec_id
+FROM embeddings q, embeddings r
+WHERE q.vec_id < 5 AND r.vec_id >= 5
+QUALIFY "rank" <= 10
+"""
+
+
+def q_embed_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column with per-batch partial
+    aggregation (combiner before the shuffle — SURVEY §4.1 skew row)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = emb.values.to_numpy(zero_copy_only=False).reshape(len(b), -1).astype(np.float64)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = mat[labels == lab]
+            s = sel.sum(axis=0)
+            for d in range(mat.shape[1]):
+                out_l.append(int(lab)); out_d.append(d)
+                out_s.append(float(s[d])); out_n.append(int(sel.shape[0]))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int32()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "label": b["label"],
+                "dim": b["dim"],
+                "centroid": _rha(
+                    b["s"].to_numpy(zero_copy_only=False)
+                    / b["n"].to_numpy(zero_copy_only=False),
+                    6,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMBED_CENTROIDS = """
+SELECT label, r AS dim, round(avg(CAST(embedding[CAST(r AS INT) + 1] AS DOUBLE)), 6) AS centroid
+FROM embeddings, range(64) t(r)
+GROUP BY label, r
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship ER (rows-only: clustering is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_er_clusters(sf_dir: str):
+    """Flagship entity-resolution pipeline over the canonical interleaved
+    corpus synthesized deterministically at a size tied to the sf (4 docs
+    per testdata documents row). Verified against ground truth and the
+    single-process oracle in pytest; rows-only here."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.entity_resolution import resolve_entities
+    from entitylinking_ray.sources.documents import synthesize_documents
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = max(200, 4 * n_rows)
+    docs = synthesize_documents(n_docs, seed=42)
+    return resolve_entities(docs, EngineConfig())
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "agg_groupby": q_agg_groupby,
+    "join_dims": q_join_dims,
+    "join_large": q_join_large,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "topk": q_topk,
+    "group_topk": q_group_topk,
+    "distinct": q_distinct,
+    "minmax_norm": q_minmax_norm,
+    "textstats": q_textstats,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "jaro_winkler": q_jaro_winkler,
+    "levenshtein": q_levenshtein,
+    "window_hourly": q_window_hourly,
+    "sessionize": q_sessionize,
+    "unionfind_events": q_unionfind_events,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embed_centroids": q_embed_centroids,
+    "er_clusters": q_er_clusters,
+}
+
+ORACLE_SQL = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "agg_groupby": SQL_AGG_GROUPBY,
+    "join_dims": SQL_JOIN_DIMS,
+    "join_large": SQL_JOIN_LARGE,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "topk": SQL_TOPK,
+    "group_topk": SQL_GROUP_TOPK,
+    "distinct": SQL_DISTINCT,
+    "minmax_norm": SQL_MINMAX_NORM,
+    "textstats": SQL_TEXTSTATS,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "jaro_winkler": SQL_JARO_WINKLER,
+    "levenshtein": SQL_LEVENSHTEIN,
+    "window_hourly": SQL_WINDOW_HOURLY,
+    "sessionize": SQL_SESSIONIZE,
+    "unionfind_events": SQL_UNIONFIND_EVENTS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embed_centroids": SQL_EMBED_CENTROIDS,
+    # dedup_minhash / dedup_simhash / er_clusters: not SQL-expressible
+}

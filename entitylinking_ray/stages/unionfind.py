@@ -32,6 +32,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from entitylinking_ray.config import EngineConfig
+from entitylinking_ray.util import sanitize_blocks
 
 
 def _num_partitions() -> int:
@@ -96,7 +97,7 @@ def connected_components(
     """
     cfg = config or EngineConfig()
     nparts = _num_partitions()
-    edges_sym = symmetrize_edges(edges, a_col, b_col).materialize()
+    edges_sym = sanitize_blocks(symmetrize_edges(edges, a_col, b_col)).materialize()
     n_edges = edges_sym.count()
 
     identity = lambda b: pa.table(  # noqa: E731
@@ -120,11 +121,9 @@ def connected_components(
         if node_col != "node":
             extra = extra.rename_columns({node_col: "node"})
         all_nodes = all_nodes.union(extra)
-    labels = (
-        _distinct_nodes(all_nodes)
-        .map_batches(identity, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = sanitize_blocks(
+        _distinct_nodes(all_nodes).map_batches(identity, batch_format="pyarrow")
+    ).materialize()
 
     prev_sum = _checksum(labels)
     for _round in range(cfg.max_cc_rounds):
@@ -136,11 +135,9 @@ def connected_components(
             lambda b: pa.table({"node": b.column("nbr"), "label": b.column("label")}),
             batch_format="pyarrow",
         ).union(labels)
-        labels = (
-            proposals.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = sanitize_blocks(
+            proposals.groupby("node").aggregate(Min("label", alias_name="label"))
+        ).materialize()
 
         # 2) pointer jumping: label(x) <- label(label(x))
         jumped = labels.join(
@@ -152,7 +149,9 @@ def connected_components(
             left_suffix="_l",
             right_suffix="_r",
         )
-        labels = jumped.map_batches(_jump_project, batch_format="pyarrow").materialize()
+        labels = sanitize_blocks(
+            jumped.map_batches(_jump_project, batch_format="pyarrow")
+        ).materialize()
 
         cur_sum = _checksum(labels)
         if cur_sum == prev_sum:

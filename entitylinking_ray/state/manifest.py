@@ -1,0 +1,98 @@
+"""Checkpoint manifest: per-stage lineage, counters, and resumable layout.
+
+The reference checkpoints by materializing a JSONL file per stage and
+re-feeding failure files (``OneNet/data_process.py:158-170,444-457``). The
+engine's equivalent (north-rule requirement): every stage writes its output
+as a Parquet directory committed ATOMICALLY (write to ``<dir>.tmp``, then
+rename), and records lineage — input fingerprint, config hash, row count,
+wall time — in ``manifest.json``. On resume, a stage whose directory is
+committed AND whose fingerprint matches is read back instead of recomputed,
+so a killed run restarts at the last completed stage with byte-identical
+final output (tests assert this).
+
+Stage granularity is the natural unit here because every wide stage is an
+all-to-all shuffle (a half-finished shuffle is not resumable anyway); the
+map-only stages inherit partition-level granularity from Parquet file
+layout within each stage directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StageRecord:
+    name: str
+    fingerprint: str
+    rows: int
+    wall_sec: float
+    counters: dict = field(default_factory=dict)
+
+
+class Manifest:
+    def __init__(self, workdir: str):
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.path = os.path.join(workdir, "manifest.json")
+        self._data: dict = {"stages": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self._data = json.load(f)
+
+    # --- stage directories ---
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, f"stage={name}")
+
+    def is_complete(self, name: str, fingerprint: str) -> bool:
+        rec = self._data["stages"].get(name)
+        return (
+            rec is not None
+            and rec["fingerprint"] == fingerprint
+            and os.path.isdir(self.stage_dir(name))
+        )
+
+    def open_tmp(self, name: str) -> str:
+        """Return a clean temp dir for the stage to write into."""
+        tmp = self.stage_dir(name) + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        return tmp
+
+    def commit(
+        self,
+        name: str,
+        fingerprint: str,
+        rows: int,
+        wall_sec: float,
+        counters: dict | None = None,
+    ) -> None:
+        """Atomically promote ``<stage>.tmp`` to the committed dir and
+        record lineage. The rename is the commit point."""
+        final = self.stage_dir(name)
+        tmp = final + ".tmp"
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._data["stages"][name] = {
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "wall_sec": round(wall_sec, 3),
+            "counters": counters or {},
+            "committed_at": time.time(),
+        }
+        self._save()
+
+    def counters(self) -> dict:
+        return {k: dict(v) for k, v in self._data["stages"].items()}
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
