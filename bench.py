@@ -1,0 +1,160 @@
+"""Benchmark harness.
+
+Headline: the flagship ER pipeline (signatures -> LSH+exact blocking ->
+pair scoring -> union-find) over the canonical interleaved corpus
+synthesized at 4 docs per testdata-documents row (sf0.1 -> 20k docs),
+plus per-query timings for the heavier driver-contract queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the headline twice in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports throughputs + scaling efficiency
+(the sandbox substitute for N- vs 4N-node clusters; BASELINE.md §2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "agg_groupby",
+    "join_large",
+    "window_hourly",
+    "sessionize",
+    "unionfind_events",
+    "knn_bruteforce",
+    "dedup_minhash",
+    "dedup_exact",
+]
+
+
+def _warm_cache(sf_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        try:
+            pq.read_table(f"{sf_dir}/{t}.parquet")
+        except Exception:
+            pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.config import EngineConfig
+    from entitylinking_ray.queries import QUERIES
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.stages.blocking import block_keys, candidate_pairs
+    from entitylinking_ray.stages.scoring import score_pairs
+    from entitylinking_ray.stages.signatures import extract_signatures
+    from entitylinking_ray.stages.unionfind import (
+        clusters_from_labels,
+        connected_components,
+    )
+
+    _warm_cache(SF_DIR)
+    cfg = EngineConfig()
+    n_rows = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_docs = max(1000, 4 * n_rows)
+
+    # --- headline: flagship ER ---
+    t0 = time.time()
+    docs = synthesize_documents(n_docs, seed=42)
+    sigs = extract_signatures(docs, cfg).materialize()
+    pairs = candidate_pairs(block_keys(sigs, cfg), cfg).materialize()
+    n_pairs = pairs.count()
+    edges = score_pairs(pairs, cfg)
+    import pyarrow as pa
+
+    nodes = sigs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    labels = connected_components(edges, nodes=nodes, config=cfg)
+    n_clusters_rows = clusters_from_labels(labels).count()
+    headline = time.time() - t0
+    assert n_clusters_rows == n_docs
+
+    # --- query timings ---
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        tq = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        qtimes[name] = round(time.time() - tq, 3)
+
+    out = {
+        "metric": "er_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "pairs_scored": n_pairs,
+        "pairs_per_sec": round(n_pairs / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "pairs_per_sec_8": r_lo["pairs_per_sec"],
+        "pairs_per_sec_32": r_hi["pairs_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -64,6 +64,7 @@ def pairwise_f1_vs_labeled(
             }
         ),
         batch_format="pyarrow",
+        batch_size=65536,  # re-batch: joins emit schema-less empty partitions
     )
     ab = a.join(
         clusters,

@@ -105,20 +105,30 @@ def lsh_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    probe_radius: int = 2,
 ) -> ray.data.Dataset:
     """Approximate top-k: corpus rows hashed into random-hyperplane sign
     buckets; each query only scores rows whose bucket is within Hamming
-    distance 1 of the query's bucket (multi-probe). Same output schema as
-    ``brute_force_knn``; recall < 1 by construction — the scale path when
-    a full scan per query is too expensive."""
+    distance ``probe_radius`` of the query's bucket (multi-probe). Same
+    output schema as ``brute_force_knn``; recall < 1 by construction — the
+    scale path when a full scan per query is too expensive."""
     queries = np.asarray(queries, dtype=np.float32)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, queries.shape[1])).astype(np.float32)
     qcodes = ((queries @ planes.T) > 0).astype(np.int64)
     qcode_ints = (qcodes * (1 << np.arange(n_planes))).sum(axis=1)
-    probe_sets: list[set[int]] = [
-        {int(c)} | {int(c) ^ (1 << p) for p in range(n_planes)} for c in qcode_ints
-    ]
+
+    def probes(c: int) -> set[int]:
+        out = {c}
+        for p in range(n_planes):
+            out.add(c ^ (1 << p))
+        if probe_radius >= 2:
+            for p in range(n_planes):
+                for q in range(p + 1, n_planes):
+                    out.add(c ^ (1 << p) ^ (1 << q))
+        return out
+
+    probe_sets: list[set[int]] = [probes(int(c)) for c in qcode_ints]
     # invert: bucket -> query ids probing it
     bucket_to_q: dict[int, list[int]] = {}
     for qi, s in enumerate(probe_sets):

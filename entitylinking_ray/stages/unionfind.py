@@ -134,6 +134,7 @@ def connected_components(
         proposals = joined.map_batches(
             lambda b: pa.table({"node": b.column("nbr"), "label": b.column("label")}),
             batch_format="pyarrow",
+            batch_size=65536,  # re-batch: joins emit schema-less empty partitions
         ).union(labels)
         labels = sanitize_blocks(
             proposals.groupby("node").aggregate(Min("label", alias_name="label"))

@@ -1,0 +1,97 @@
+"""Driver-contract smoke: a fast subset of queries() vs oracle_sql() via
+DuckDB on sf0.001 (the full sweep lives in tools/check_queries.py), plus
+entry() module hygiene."""
+
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+FAST_QUERIES = [
+    "agg_groupby",
+    "semi_join",
+    "anti_join",
+    "textstats",
+    "langid",
+    "fingerprint",
+    "window_hourly",
+    "knn_bruteforce",
+]
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_no_ray_init_in_module_source():
+    """No ray.init()/ray.shutdown() CALLS anywhere in the entry module or
+    the library package (docstrings may mention them)."""
+    import ast
+    import inspect
+    import pathlib
+
+    import __ray_entry__ as m
+    import entitylinking_ray
+
+    paths = [inspect.getsourcefile(m)]
+    pkg_root = pathlib.Path(entitylinking_ray.__file__).parent
+    paths += [str(p) for p in pkg_root.rglob("*.py")]
+    for path in paths:
+        tree = ast.parse(pathlib.Path(path).read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+                if node.func.attr in ("init", "shutdown") and isinstance(
+                    node.func.value, ast.Name
+                ) and node.func.value.id == "ray":
+                    raise AssertionError(f"ray.{node.func.attr}() call in {path}")
+
+
+def test_every_query_has_callable(contract):
+    qs = contract.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name in contract.oracle_sql():
+        assert name in qs
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(ray_session, contract, con, name):
+    ray_df = contract.queries()[name](SF)
+    if hasattr(ray_df, "to_pandas"):
+        ray_df = ray_df.to_pandas()
+    sql_df = con.sql(contract.oracle_sql()[name]).df()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert (av.astype(np.float64) == bv.astype(np.float64)).all(), c
+        else:
+            assert (av.astype(str) == bv.astype(str)).all(), c

@@ -1,0 +1,99 @@
+"""End-to-end flagship pipeline: engine == oracle, F1 >= 0.99, resume."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from entitylinking_ray.config import EngineConfig
+from entitylinking_ray.oracle import oracle_cluster
+from entitylinking_ray.pipelines.entity_resolution import (
+    resolve_entities,
+    run_checkpointed,
+)
+from entitylinking_ray.pipelines.eval import (
+    pairwise_f1_from_assignments,
+    pairwise_f1_vs_labeled,
+)
+from entitylinking_ray.synth import documents_table, labeled_pairs_table, truth_table
+
+CFG = EngineConfig()
+N = 600
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return documents_table(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def clusters(ray_session, docs_tbl):
+    return resolve_entities(ray.data.from_arrow(docs_tbl), CFG).materialize()
+
+
+def test_engine_matches_oracle(clusters, docs_tbl):
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.take_all()}
+    want = oracle_cluster(docs_tbl, CFG)
+    assert got == want
+
+
+def test_pairwise_f1_vs_truth(clusters):
+    truth = ray.data.from_arrow(truth_table(N, 42))
+    m = pairwise_f1_from_assignments(clusters, truth)
+    assert m["f1"] >= 0.99, m
+
+
+def test_pairwise_f1_vs_labeled_pairs(clusters):
+    labeled = ray.data.from_arrow(labeled_pairs_table(N, 42))
+    m = pairwise_f1_vs_labeled(clusters, labeled)
+    assert m["f1"] >= 0.99, m
+
+
+def test_every_doc_assigned(clusters):
+    rows = clusters.take_all()
+    assert len(rows) == N
+    assert len({r["doc_id"] for r in rows}) == N
+
+
+def test_checkpoint_resume(ray_session, docs_tbl, tmp_path):
+    """North-rule resumability: a killed run (simulated by deleting the
+    later stage outputs) resumes from the last committed stage and
+    reproduces identical final clusters."""
+    input_path = str(tmp_path / "input")
+    ray.data.from_arrow(docs_tbl).write_parquet(input_path)
+    work = str(tmp_path / "work")
+
+    s1 = run_checkpointed(input_path, work, CFG)
+    assert not any(v.get("resumed") for v in s1["stages"].values())
+    first = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in ray.data.read_parquet(s1["clusters_path"]).take_all()
+    )
+
+    # simulate a crash after the pairs stage: drop edges + clusters
+    import shutil
+
+    shutil.rmtree(os.path.join(work, "stage=edges"))
+    shutil.rmtree(os.path.join(work, "stage=clusters"))
+
+    s2 = run_checkpointed(input_path, work, CFG)
+    assert s2["stages"]["signatures"]["resumed"]
+    assert s2["stages"]["pairs"]["resumed"]
+    assert not s2["stages"]["edges"]["resumed"]
+    second = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in ray.data.read_parquet(s2["clusters_path"]).take_all()
+    )
+    assert first == second
+
+
+def test_checkpoint_invalidated_by_config_change(ray_session, docs_tbl, tmp_path):
+    input_path = str(tmp_path / "input")
+    ray.data.from_arrow(docs_tbl).write_parquet(input_path)
+    work = str(tmp_path / "work")
+    run_checkpointed(input_path, work, CFG)
+    s2 = run_checkpointed(input_path, work, EngineConfig(edge_threshold=0.9))
+    # different config hash: nothing may be resumed
+    assert not any(v.get("resumed") for v in s2["stages"].values())

@@ -1,0 +1,80 @@
+"""Synthetic-corpus generator invariants (FIXTURES.md F1/F2/F6)."""
+
+import pyarrow as pa
+
+from entitylinking_ray.synth import (
+    CorpusSpec,
+    documents_table,
+    labeled_pairs_table,
+    make_document,
+    truth_table,
+)
+
+
+def test_deterministic():
+    t1 = documents_table(120, 42)
+    t2 = documents_table(120, 42)
+    assert t1.equals(t2)
+
+
+def test_pure_function_of_index():
+    spec = CorpusSpec(500, 42)
+    d1 = make_document(123, spec)
+    d2 = make_document(123, CorpusSpec(500, 42))
+    assert d1 == d2
+
+
+def test_group_names_unique():
+    spec = CorpusSpec(5000, 42)
+    names = [spec.base_name(g) for g in range(spec.n_groups)]
+    assert len(set(names)) == len(names)
+
+
+def test_sibling_hard_negatives_share_adjective():
+    spec = CorpusSpec(1000, 42)
+    for g in range(0, 20, 2):
+        a = spec.base_name(g).split()[0]
+        b = spec.base_name(g + 1).split()[0]
+        assert a == b
+        assert spec.base_name(g).split()[1] != spec.base_name(g + 1).split()[1]
+
+
+def test_hot_group_exists():
+    spec = CorpusSpec(3000, 42)
+    assert spec.sizes[0] == max(12, 3000 // 100)
+    assert spec.sizes[0] > spec.sizes[1:].max()
+
+
+def test_spans_well_formed():
+    t = documents_table(50, 42)
+    for row in t.to_pylist():
+        offs = [s["offset"] for s in row["spans"]]
+        assert offs == sorted(offs)
+        kinds = {s["kind"] for s in row["spans"]}
+        assert kinds <= {"text", "mention", "image", "audio"}
+        assert any(k == "mention" for k in kinds)
+        for s in row["spans"]:
+            if s["kind"] in ("text", "mention"):
+                assert s["media_ref"] == ""
+
+
+def test_truth_covers_all_docs():
+    n = 200
+    t = truth_table(n, 42)
+    assert t.num_rows == n
+    assert len(set(t["doc_id"].to_pylist())) == n
+
+
+def test_labeled_pairs():
+    lp = labeled_pairs_table(300, 42)
+    a = lp["doc_id_a"].to_pylist()
+    b = lp["doc_id_b"].to_pylist()
+    y = lp["is_match"].to_pylist()
+    assert all(x < z for x, z in zip(a, b))
+    keys = list(zip(a, b))
+    assert len(set(keys)) == len(keys)
+    assert any(y) and not all(y)
+    # labels agree with truth table
+    truth = {r["doc_id"]: r["group_id"] for r in truth_table(300, 42).to_pylist()}
+    for x, z, m in zip(a, b, y):
+        assert (truth[x] == truth[z]) == m

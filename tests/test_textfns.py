@@ -1,0 +1,105 @@
+"""textnorm / textstats / decode parity unit tests."""
+
+import numpy as np
+import pytest
+
+from entitylinking_ray.functions.decode import (
+    phrase_category,
+    phrase_pointwise_ans,
+    result_decode,
+    summary_llm_process,
+)
+from entitylinking_ray.functions.textnorm import (
+    cut_context,
+    first_sentence,
+    minmax_normalize,
+    normalize,
+    split_context,
+    token_set_string,
+)
+from entitylinking_ray.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def test_normalize():
+    assert normalize("  Hello\t WORLD \n") == "hello world"
+    assert normalize("") == ""
+
+
+def test_token_set_string():
+    assert token_set_string("b a b") == "a b"
+
+
+def test_split_context():
+    # fomulate_data parity: word-span split (OneNet/data_process.py:9-14)
+    left, mention, right = split_context("a b c d e", 1, 2)
+    assert (left, mention, right) == ("a", "b c", "d e")
+
+
+def test_cut_context():
+    # keep left after its first '.', right up to its first '.'
+    left, right = cut_context("intro. keep this", "keep that. drop this")
+    assert left == "keep this"
+    assert right == "keep that."
+    left2, right2 = cut_context("no dot here", "none here either")
+    assert left2 == "no dot here" and right2 == "none here either"
+
+
+def test_first_sentence():
+    assert first_sentence("First. Second.") == "First."
+
+
+def test_minmax():
+    out = minmax_normalize(np.array([1.0, 2.0, 3.0]))
+    assert out.tolist() == [0.0, 0.5, 1.0]
+    assert minmax_normalize(np.array([5.0, 5.0])).tolist() == [0.0, 0.0]
+
+
+def test_pointwise_default_true():
+    # unparseable answers default to keep (OneNet/data_process.py:115-141)
+    assert phrase_pointwise_ans("mumble mumble") is True
+    assert phrase_pointwise_ans("The answer is no") is False
+    assert phrase_pointwise_ans("answer: yes. later... answer: no") is False
+    assert phrase_pointwise_ans("these are not related entities") is False
+
+
+def test_phrase_category_earliest_wins():
+    assert phrase_category("a Location then a Person") == "Location"
+    assert phrase_category("nothing known") == "Any"
+
+
+def test_result_decode():
+    cands = [
+        {"document_id": "1", "title": "Apple Inc"},
+        {"document_id": "2", "title": "Apple"},
+    ]
+    # earliest occurrence wins; longer name wins at same position
+    assert result_decode("I think Apple Inc is right", cands) == "1"
+    assert result_decode("no match at all", cands) == "none"
+    # whitespace-stripped containment fallback (no direct name occurrence)
+    assert result_decode("bigcorp yes", [{"document_id": "3", "title": "Big Corp"}]) == "3"
+
+
+def test_summary_llm_process():
+    assert summary_llm_process("para1\n\npara2") == "para2"
+
+
+def test_quality_and_tokens():
+    assert token_count("a b  c") == 3
+    assert quality_score("") == 0.0
+    q = quality_score("one two three one")
+    assert q == pytest.approx(0.5 * (4 / 100) + 0.5 * (3 / 4))
+
+
+def test_lang_id_deterministic():
+    assert lang_id("the cat and the dog is here to see") == "en"
+    assert lang_id("xyzzy plugh") == "und"
+
+
+def test_fingerprint_whitespace_invariant():
+    assert fingerprint("Hello  World") == fingerprint("hello world")
+    assert fingerprint("a") != fingerprint("b")
