@@ -41,6 +41,12 @@ class EngineConfig:
 
     # --- union-find ---
     max_cc_rounds: int = 25
+    # Edge sets at or below this size are unioned on the driver (streamed
+    # via iter_batches, C-speed dict union-find) instead of paying ~2-3 s
+    # of hash-shuffle-join overhead per distributed round; above it, the
+    # distributed star-contraction path runs (the 10^12-doc scale path).
+    # Both paths produce identical labels (min member id) — tested.
+    cc_driver_max_edges: int = 2_000_000
 
     # --- execution sizing ---
     score_batch_size: int = 8192

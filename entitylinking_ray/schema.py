@@ -47,6 +47,7 @@ BLOCK_KEYS_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("name_norm", pa.string()),
         ("name_sorted", pa.string()),
+        ("bucket", pa.int32()),  # crc32(block_key) % n_buckets shuffle key
     ]
 )
 

@@ -47,10 +47,20 @@ def write_documents(ds: ray.data.Dataset, path: str) -> None:
 
 def synthesize_documents(n_docs: int, seed: int = 42) -> ray.data.Dataset:
     """Distributed deterministic synthetic corpus (see synth.py): every doc
-    is a pure function of (seed, index), generated inside map_batches."""
+    is a pure function of (seed, index), generated inside map_batches.
+
+    Block count scales with the cluster so downstream map stages get
+    enough tasks to fill it (Ray schedules map_batches per block)."""
+    import ray as _ray
+
     from entitylinking_ray.synth import make_batch_generator
 
-    return ray.data.range(n_docs).map_batches(
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(8, min(cpus * 4, max(1, n_docs // 500)))
+    return ray.data.range(n_docs, override_num_blocks=blocks).map_batches(
         make_batch_generator(n_docs, seed), batch_format="pyarrow"
     )
 

@@ -9,20 +9,31 @@ Key families (SURVEY §7.2 step 3):
   replacement for BM25/global-index candidate generation (J9).
 - ``M:<media_ref>`` — shared-media key (interleaved input model only).
 
+Shuffle shape: both wide steps run as ``groupby(hash_bucket)`` with a
+VECTORIZED within-bucket pass (sort by key inside the bucket, numpy
+boundary detection), not ``groupby(key).map_groups`` — Ray invokes the
+map_groups callback once per group, and per-key Python dispatch over
+millions of keys dominates wall time (measured 8 s vs 0.3 s at 35k keys).
+The bucket count scales with the cluster so each bucket is one task.
+
 Skew handling (SURVEY §7.4): blocks up to ``max_full_block_size`` emit all
 O(n^2) pairs; hot blocks fall back to a deterministic sorted-neighborhood
 window (docs sorted by doc_id; pairs (i, i+1..i+w)), bounding pairs per
 block at n*w while keeping the block connected — union-find restores the
 full cluster transitively. Pairs generated under multiple keys are deduped
-by a ``groupby(pair_key)`` keep-first pass (D1 pattern: hash-partition +
+by a keep-first pass on the pair key (D1 pattern: hash-partition +
 per-group first, deterministic by smallest block_key).
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from entitylinking_ray.config import EngineConfig
@@ -30,7 +41,21 @@ from entitylinking_ray.functions.hashing import band_hashes
 from entitylinking_ray.schema import BLOCK_KEYS_SCHEMA, PAIRS_SCHEMA
 
 
-def _block_key_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+def _n_buckets() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(16, cpus * 4)
+
+
+def _bucket_of(keys: list[str], n: int) -> pa.Array:
+    return pa.array(
+        [zlib.crc32(k.encode()) % n for k in keys], pa.int32()
+    )
+
+
+def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.Table:
     doc_ids = batch.column("doc_id").to_pylist()
     names_norm = batch.column("name_norm").to_pylist()
     names_sorted = batch.column("name_sorted").to_pylist()
@@ -55,84 +80,124 @@ def _block_key_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
             out_ids.append(did)
             out_norm.append(names_norm[i])
             out_sorted.append(names_sorted[i])
-    return pa.table(
+    t = pa.table(
         {
-            "block_key": keys,
-            "doc_id": out_ids,
-            "name_norm": out_norm,
-            "name_sorted": out_sorted,
-        },
-        schema=BLOCK_KEYS_SCHEMA,
+            "block_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(out_ids, pa.string()),
+            "name_norm": pa.array(out_norm, pa.string()),
+            "name_sorted": pa.array(out_sorted, pa.string()),
+        }
     )
+    return t.append_column("bucket", _bucket_of(keys, n_buckets))
 
 
 def block_keys(sigs: ray.data.Dataset, config: EngineConfig | None = None) -> ray.data.Dataset:
+    """Signatures -> (block_key, doc_id, name_norm, name_sorted, bucket)."""
     cfg = config or EngineConfig()
+    nb = _n_buckets()
     return sigs.map_batches(
-        lambda b: _block_key_batch(b, cfg), batch_format="pyarrow"
+        lambda b: _block_key_batch(b, cfg, nb), batch_format="pyarrow"
     )
 
 
-def _pairs_in_block(group: pa.Table, cfg: EngineConfig) -> pa.Table:
-    n = len(group)
-    if n < 2:
-        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
-    key = group.column("block_key")[0].as_py()
-    order = pa.compute.sort_indices(group.column("doc_id"))
-    ids = group.column("doc_id").take(order).to_pylist()
-    norms = group.column("name_norm").take(order).to_pylist()
-    names = group.column("name_sorted").take(order).to_pylist()
+def _group_slices(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
+    """(start, end) slices of equal-key runs in a sorted key array."""
+    if len(sorted_keys) == 0:
+        return []
+    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(sorted_keys)]))
+    return list(zip(starts.tolist(), ends.tolist()))
 
-    a_ids, b_ids, a_nm, b_nm, a_srt, b_srt = [], [], [], [], [], []
 
-    def emit(i: int, j: int) -> None:
-        if ids[i] == ids[j]:
-            return  # same doc under a duplicated key row
-        a_ids.append(ids[i]); b_ids.append(ids[j])
-        a_nm.append(norms[i]); b_nm.append(norms[j])
-        a_srt.append(names[i]); b_srt.append(names[j])
+def _pairs_in_bucket(group: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """All candidate pairs for every block key hashed into this bucket.
+    One Python call per BUCKET; the per-key loop below touches only keys
+    with >= 2 members."""
+    order = pc.sort_indices(
+        group, sort_keys=[("block_key", "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(order)
+    keys = np.asarray(g.column("block_key").to_pylist(), dtype=object)
+    ids = np.asarray(g.column("doc_id").to_pylist(), dtype=object)
+    norms = np.asarray(g.column("name_norm").to_pylist(), dtype=object)
+    sorts = np.asarray(g.column("name_sorted").to_pylist(), dtype=object)
 
-    if n <= cfg.max_full_block_size:
-        for i in range(n):
-            for j in range(i + 1, n):
-                emit(i, j)
-    else:
-        w = cfg.hot_block_window
-        for i in range(n):
-            for j in range(i + 1, min(i + 1 + w, n)):
-                emit(i, j)
-    pair_keys = [f"{a}|{b}" for a, b in zip(a_ids, b_ids)]
+    idx_a: list[int] = []
+    idx_b: list[int] = []
+    key_of_pair: list[str] = []
+    cap = cfg.max_full_block_size
+    w = cfg.hot_block_window
+    for s, e in _group_slices(keys):
+        n = e - s
+        if n < 2:
+            continue
+        key = keys[s]
+        if n <= cap:
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if ids[i] != ids[j]:
+                        idx_a.append(i)
+                        idx_b.append(j)
+                        key_of_pair.append(key)
+        else:
+            for i in range(s, e):
+                for j in range(i + 1, min(i + 1 + w, e)):
+                    if ids[i] != ids[j]:
+                        idx_a.append(i)
+                        idx_b.append(j)
+                        key_of_pair.append(key)
+    ia = np.asarray(idx_a, dtype=np.int64)
+    ib = np.asarray(idx_b, dtype=np.int64)
+    a_ids = ids[ia] if len(ia) else np.array([], dtype=object)
+    b_ids = ids[ib] if len(ib) else np.array([], dtype=object)
     return pa.table(
         {
-            "pair_key": pair_keys,
-            "doc_id_a": a_ids,
-            "doc_id_b": b_ids,
-            "name_a": a_nm,
-            "name_b": b_nm,
-            "name_a_sorted": a_srt,
-            "name_b_sorted": b_srt,
-            "block_key": [key] * len(pair_keys),
+            "pair_key": pa.array(
+                [f"{a}|{b}" for a, b in zip(a_ids, b_ids)], pa.string()
+            ),
+            "doc_id_a": pa.array(a_ids, pa.string()),
+            "doc_id_b": pa.array(b_ids, pa.string()),
+            "name_a": pa.array(norms[ia] if len(ia) else [], pa.string()),
+            "name_b": pa.array(norms[ib] if len(ib) else [], pa.string()),
+            "name_a_sorted": pa.array(sorts[ia] if len(ia) else [], pa.string()),
+            "name_b_sorted": pa.array(sorts[ib] if len(ib) else [], pa.string()),
+            "block_key": pa.array(key_of_pair, pa.string()),
         },
         schema=PAIRS_SCHEMA,
     )
 
 
-def _dedup_pair_group(group: pa.Table) -> pa.Table:
-    """Keep one row per pair_key — the lexicographically smallest block_key
-    wins (deterministic lineage, SURVEY §7.2 step 3)."""
-    if len(group) == 1:
-        return group
-    order = pa.compute.sort_indices(group.column("block_key"))
-    return group.take(order[:1])
+def _dedup_bucket(group: pa.Table) -> pa.Table:
+    """Keep one row per pair_key (smallest block_key wins) — vectorized:
+    sort by (pair_key, block_key), take run starts."""
+    order = pc.sort_indices(
+        group, sort_keys=[("pair_key", "ascending"), ("block_key", "ascending")]
+    )
+    g = group.take(order)
+    keys = np.asarray(g.column("pair_key").to_pylist(), dtype=object)
+    starts = [s for s, _ in _group_slices(keys)]
+    return g.take(pa.array(starts, pa.int64()))
 
 
 def candidate_pairs(
     keys: ray.data.Dataset, config: EngineConfig | None = None
 ) -> ray.data.Dataset:
+    """Block-key rows -> deduped candidate pairs (PAIRS_SCHEMA)."""
     cfg = config or EngineConfig()
-    pairs = keys.groupby("block_key").map_groups(
-        lambda g: _pairs_in_block(g, cfg), batch_format="pyarrow"
+    nb = _n_buckets()
+    pairs = keys.groupby("bucket").map_groups(
+        lambda g: _pairs_in_bucket(g, cfg), batch_format="pyarrow"
     )
-    return pairs.groupby("pair_key").map_groups(
-        _dedup_pair_group, batch_format="pyarrow"
+    rebucketed = pairs.map_batches(
+        lambda b: b.append_column(
+            "pbucket", _bucket_of(b.column("pair_key").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
+    )
+    deduped = rebucketed.groupby("pbucket").map_groups(
+        _dedup_bucket, batch_format="pyarrow"
+    )
+    return deduped.map_batches(
+        lambda b: b.select([f.name for f in PAIRS_SCHEMA]), batch_format="pyarrow"
     )

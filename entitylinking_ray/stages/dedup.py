@@ -83,59 +83,81 @@ def _pairs_from_buckets(
     buckets: ray.data.Dataset, cfg: EngineConfig, payload_cols: list[str]
 ) -> ray.data.Dataset:
     """(bucket_key, id, payload...) -> deduped candidate pairs carrying both
-    payloads (suffix _a/_b). Same hot-bucket windowing as ER blocking."""
+    payloads (suffix _a/_b). Same hot-bucket windowing as ER blocking, and
+    the same hash-bucketed shuffle shape (one Python call per HASH bucket,
+    vectorized run detection within — not per LSH key)."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        n = len(group)
-        empty = {
-            "pair_key": pa.array([], pa.string()),
-            "id_a": pa.array([], pa.string()),
-            "id_b": pa.array([], pa.string()),
-        }
-        for c in payload_cols:
-            t = group.schema.field(c).type
-            empty[f"{c}_a"] = pa.array([], t)
-            empty[f"{c}_b"] = pa.array([], t)
-        if n < 2:
-            return pa.table(empty)
-        order = pa.compute.sort_indices(group.column("id"))
+    nb = _n_buckets()
+    hashed = buckets.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b.column("bucket_key").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_hash_bucket(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("bucket_key", "ascending"), ("id", "ascending")]
+        )
         g = group.take(order)
-        ids = g.column("id").to_pylist()
-        payloads = {c: g.column(c).to_pylist() for c in payload_cols}
+        keys = np.asarray(g.column("bucket_key").to_pylist(), dtype=object)
+        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
         idx_a: list[int] = []
         idx_b: list[int] = []
-        if n <= cfg.max_full_block_size:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] != ids[j]:
-                        idx_a.append(i)
-                        idx_b.append(j)
-        else:
-            w = cfg.hot_block_window
-            for i in range(n):
-                for j in range(i + 1, min(i + 1 + w, n)):
-                    if ids[i] != ids[j]:
-                        idx_a.append(i)
-                        idx_b.append(j)
+        cap = cfg.max_full_block_size
+        w = cfg.hot_block_window
+        for s, e in _group_slices(keys):
+            if e - s < 2:
+                continue
+            if e - s <= cap:
+                for i in range(s, e):
+                    for j in range(i + 1, e):
+                        if ids[i] != ids[j]:
+                            idx_a.append(i)
+                            idx_b.append(j)
+            else:
+                for i in range(s, e):
+                    for j in range(i + 1, min(i + 1 + w, e)):
+                        if ids[i] != ids[j]:
+                            idx_a.append(i)
+                            idx_b.append(j)
+        ia = np.asarray(idx_a, dtype=np.int64)
+        ib = np.asarray(idx_b, dtype=np.int64)
+        a_ids = ids[ia] if len(ia) else np.array([], dtype=object)
+        b_ids = ids[ib] if len(ib) else np.array([], dtype=object)
         cols = {
             "pair_key": pa.array(
-                [f"{ids[i]}|{ids[j]}" for i, j in zip(idx_a, idx_b)], pa.string()
+                [f"{a}|{b}" for a, b in zip(a_ids, b_ids)], pa.string()
             ),
-            "id_a": pa.array([ids[i] for i in idx_a], pa.string()),
-            "id_b": pa.array([ids[j] for j in idx_b], pa.string()),
+            "id_a": pa.array(a_ids, pa.string()),
+            "id_b": pa.array(b_ids, pa.string()),
         }
         for c in payload_cols:
             t = group.schema.field(c).type  # preserve type (e.g. uint64 simhash)
-            cols[f"{c}_a"] = pa.array([payloads[c][i] for i in idx_a], t)
-            cols[f"{c}_b"] = pa.array([payloads[c][j] for j in idx_b], t)
+            vals = g.column(c)
+            cols[f"{c}_a"] = vals.take(pa.array(ia, pa.int64())) if len(ia) else pa.array([], t)
+            cols[f"{c}_b"] = vals.take(pa.array(ib, pa.int64())) if len(ib) else pa.array([], t)
         return pa.table(cols)
 
-    pairs = buckets.groupby("bucket_key").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    pairs = hashed.groupby("hb").map_groups(
+        pairs_in_hash_bucket, batch_format="pyarrow"
     )
-    return pairs.groupby("pair_key").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    rebucketed = pairs.map_batches(
+        lambda b: b.append_column(
+            "pb", _bucket_of(b.column("pair_key").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
     )
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(group.column("pair_key"))
+        g = group.take(order)
+        keys = np.asarray(g.column("pair_key").to_pylist(), dtype=object)
+        starts = [s for s, _ in _group_slices(keys)]
+        return g.take(pa.array(starts, pa.int64())).drop_columns(["pb"])
+
+    return rebucketed.groupby("pb").map_groups(dedup_bucket, batch_format="pyarrow")
 
 
 def _survivors(

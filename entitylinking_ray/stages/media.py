@@ -139,10 +139,10 @@ def extract_media_refs(docs: ray.data.Dataset, kind: str | None = None) -> ray.d
             {"media_ref": pa.array(out_r, pa.string()), "kind": pa.array(out_k, pa.string())}
         )
 
+    from ray.data.aggregate import Min
+
     flatted = docs.map_batches(flat, batch_format="pyarrow")
-    return flatted.groupby("media_ref").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return flatted.groupby("media_ref").aggregate(Min("kind", alias_name="kind"))
 
 
 def decode_images(docs: ray.data.Dataset, dim: int = 32) -> ray.data.Dataset:

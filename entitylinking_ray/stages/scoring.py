@@ -36,13 +36,73 @@ from entitylinking_ray.schema import EDGES_SCHEMA
 
 
 class PairScorer:
-    """Actor-pool callable; encoder built once per actor in ``__init__``."""
+    """Actor-pool callable; encoder + memo caches built once per actor in
+    ``__init__`` (ST1/ST2 pattern). Two levels of memoization make the
+    kernels amortized-cheap without changing any value:
+
+    - a full-score cache keyed by (name_a, name_b) — duplicate-heavy
+      corpora repeat the same name pairs across blocks and batches;
+    - a token-pair Levenshtein cache inside Monge-Elkan — the token
+      vocabulary is far smaller than the pair stream, so the O(len^2)
+      Python DP runs once per distinct token pair (measured 10x+ on the
+      hot-group corpus).
+    """
+
+    _MAX_CACHE = 2_000_000
 
     def __init__(self, config: EngineConfig | None = None):
         self.cfg = config or EngineConfig()
         self.encoder = HashingEncoder(
             dim=self.cfg.embed_dim, seed=self.cfg.seed, shingle_k=self.cfg.shingle_k
         )
+        self._score_cache: dict[tuple[str, str], tuple[float, float, float]] = {}
+        self._lev_cache: dict[tuple[str, str], float] = {}
+        self._emb_cache: dict[str, np.ndarray] = {}
+
+    def _encode_cached(self, names: list) -> np.ndarray:
+        """Encode with a per-actor name -> vector memo (each doc's name
+        appears in many pairs; a real model encoder would memoize the same
+        way)."""
+        cache = self._emb_cache
+        missing = [s for s in names if s not in cache]
+        if missing:
+            distinct = list(dict.fromkeys(missing))
+            vecs = self.encoder.encode(distinct)
+            if len(cache) > self._MAX_CACHE:
+                cache.clear()
+            for s, v in zip(distinct, vecs):
+                cache[s] = v
+        return np.stack([cache[s] for s in names]) if names else np.zeros((0, self.cfg.embed_dim), np.float32)
+
+    def _tok_sim(self, ta: str, tb: str) -> float:
+        from entitylinking_ray.functions.strsim import levenshtein_similarity
+
+        key = (ta, tb) if ta <= tb else (tb, ta)
+        v = self._lev_cache.get(key)
+        if v is None:
+            v = levenshtein_similarity(ta, tb)
+            if len(self._lev_cache) > self._MAX_CACHE:
+                self._lev_cache.clear()
+            self._lev_cache[key] = v
+        return v
+
+    def _monge_elkan(self, s1: str, s2: str) -> float:
+        a = sorted(set(s1.split()))
+        b = sorted(set(s2.split()))
+        if not a and not b:
+            return 1.0
+        if not a or not b:
+            return 0.0
+        best_a = [0.0] * len(a)
+        best_b = [0.0] * len(b)
+        for i, ta in enumerate(a):
+            for j, tb in enumerate(b):
+                sim = self._tok_sim(ta, tb)
+                if sim > best_a[i]:
+                    best_a[i] = sim
+                if sim > best_b[j]:
+                    best_b[j] = sim
+        return (sum(best_a) / len(a) + sum(best_b) / len(b)) / 2.0
 
     def score(
         self,
@@ -60,13 +120,45 @@ class PairScorer:
             name_a_sorted = [" ".join(sorted(set(s.split()))) for s in name_a]
         if name_b_sorted is None:
             name_b_sorted = [" ".join(sorted(set(s.split()))) for s in name_b]
-        jw_raw = jaro_winkler_batch(name_a, name_b)
-        jw_sorted = jaro_winkler_batch(name_a_sorted, name_b_sorted)
-        jw = np.maximum(jw_raw, jw_sorted)
-        ts = token_set_levenshtein_batch(name_a, name_b)
-        ea = self.encoder.encode(name_a)
-        eb = self.encoder.encode(name_b)
-        cos = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
+        n = len(name_a)
+        jw = np.empty(n, dtype=np.float64)
+        ts = np.empty(n, dtype=np.float64)
+        cos = np.empty(n, dtype=np.float64)
+        cache = self._score_cache
+        # resolve cache hits; collect distinct misses
+        miss: dict[tuple[str, str], int] = {}
+        miss_rows: list[int] = []
+        for i in range(n):
+            key = (name_a[i], name_b[i])
+            v = cache.get(key)
+            if v is None:
+                miss.setdefault(key, i)
+                miss_rows.append(i)
+            else:
+                jw[i], ts[i], cos[i] = v
+        if miss:
+            rep = list(miss.values())
+            ua = [name_a[i] for i in rep]
+            ub = [name_b[i] for i in rep]
+            uas = [name_a_sorted[i] for i in rep]
+            ubs = [name_b_sorted[i] for i in rep]
+            jw_u = np.maximum(
+                jaro_winkler_batch(ua, ub), jaro_winkler_batch(uas, ubs)
+            )
+            ts_u = np.fromiter(
+                (self._monge_elkan(a, b) for a, b in zip(ua, ub)),
+                dtype=np.float64,
+                count=len(rep),
+            )
+            ea = self._encode_cached(ua)
+            eb = self._encode_cached(ub)
+            cos_u = np.einsum("ij,ij->i", ea, eb).astype(np.float64)
+            if len(cache) > self._MAX_CACHE:
+                cache.clear()
+            for k, key in enumerate(miss.keys()):
+                cache[key] = (float(jw_u[k]), float(ts_u[k]), float(cos_u[k]))
+            for i in miss_rows:
+                jw[i], ts[i], cos[i] = cache[(name_a[i], name_b[i])]
         fused = (
             self.cfg.w_jaro_winkler * jw
             + self.cfg.w_token_set * ts
@@ -104,10 +196,25 @@ def score_pairs(
 ) -> ray.data.Dataset:
     """Candidate pairs → accepted edges (score >= edge_threshold)."""
     cfg = config or EngineConfig()
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # leave headroom so the scoring pool doesn't starve the read/shuffle
+    # stages (ray_guide: a pool reserving every CPU serializes the pipeline)
+    pool = max(2, (cpus * 3) // 4)
+    # Ray schedules map_batches per BLOCK; groupby outputs often coalesce
+    # into few blocks, which would serialize the pool (measured 5 busy
+    # actors of 24). Split first so every actor gets work.
+    pairs = pairs.repartition(pool * 3)
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"config": cfg},
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        concurrency=(1, max(2, cfg.encoder_concurrency * 2)),
+        # fixed pool: autoscaling ramps too slowly for a burst stage and
+        # leaves most of the cluster idle (measured 3.4 busy cores of 24)
+        concurrency=pool,
     )

@@ -29,7 +29,7 @@ import zlib
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.util import sanitize_blocks
@@ -77,8 +77,117 @@ def symmetrize_edges(
 
 
 def _distinct_nodes(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.groupby("node").map_groups(
+    # Count aggregate = Ray's vectorized hash-aggregate path; a
+    # groupby().map_groups(first) here would pay per-group Python dispatch
+    return ds.groupby("node").aggregate(Count(alias_name="_c")).select_columns(["node"])
+
+
+def _driver_union_find(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None,
+    a_col: str,
+    b_col: str,
+    node_col: str,
+) -> ray.data.Dataset:
+    """Small-edge-set fast path: stream the edge list to the driver and
+    union in a dict with path compression; attach the larger root under the
+    smaller so the final root IS the min member id (identical labels to the
+    distributed fixpoint). Non-edge nodes label themselves via a broadcast
+    lookup — the edge-node label map ships once via ray.put, not per batch.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in edges.select_columns([a_col, b_col]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, b in zip(batch.column(a_col).to_pylist(), batch.column(b_col).to_pylist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    label_map = {x: find(x) for x in parent}
+
+    if nodes is None:
+        items = sorted(label_map.items())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([k for k, _ in items], pa.string()),
+                    "label": pa.array([v for _, v in items], pa.string()),
+                }
+            )
+        )
+    ref = ray.put(label_map)
+
+    class Assign:
+        def __init__(self):
+            self.lm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ns = b.column(node_col).to_pylist()
+            return pa.table(
+                {
+                    "node": pa.array(ns, pa.string()),
+                    "label": pa.array([self.lm.get(n, n) for n in ns], pa.string()),
+                }
+            )
+
+    extra = nodes.select_columns([node_col])
+    # dedupe node list, then assign (singletons label themselves)
+    distinct = extra.groupby(node_col).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    return distinct.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _local_contract(batch: pa.Table) -> pa.Table:
+    """Per-batch spanning-forest contraction: union the batch's edges
+    locally and emit only (node -> local root) edges — shrinks the edge
+    list before the global rounds (two-level union-find)."""
+    a = batch.column("node").to_pylist()
+    b = batch.column("nbr").to_pylist()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        if x not in parent:
+            parent[x] = x
+        if y not in parent:
+            parent[y] = y
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    out_a, out_b = [], []
+    for x in parent:
+        r = find(x)
+        if r != x:
+            out_a.append(x)
+            out_b.append(r)
+    return pa.table(
+        {
+            "node": pa.array(out_a + out_b, pa.string()),
+            "nbr": pa.array(out_b + out_a, pa.string()),
+        }
     )
 
 
@@ -93,11 +202,22 @@ def connected_components(
     """Return a Dataset (node, label): label = min node id in the component.
 
     ``nodes`` (a Dataset with column ``node_col``) may supply isolated
-    nodes; endpoints of ``edges`` are always included.
+    nodes; endpoints of ``edges`` are always included. Small edge sets
+    (<= cfg.cc_driver_max_edges) take a driver fast path; larger ones run
+    the distributed star-contraction rounds (identical output).
     """
     cfg = config or EngineConfig()
     nparts = _num_partitions()
-    edges_sym = sanitize_blocks(symmetrize_edges(edges, a_col, b_col)).materialize()
+    edges_mat = edges.materialize()
+    n_raw_edges = edges_mat.count()
+    if n_raw_edges <= cfg.cc_driver_max_edges:
+        return _driver_union_find(edges_mat, nodes, a_col, b_col, node_col)
+
+    edges_sym = sanitize_blocks(
+        symmetrize_edges(edges_mat, a_col, b_col).map_batches(
+            _local_contract, batch_format="pyarrow", batch_size=262144
+        )
+    ).materialize()
     n_edges = edges_sym.count()
 
     identity = lambda b: pa.table(  # noqa: E731

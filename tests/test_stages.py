@@ -104,9 +104,13 @@ def test_hot_block_pair_cap(ray_session):
     assert n >= 39  # still connected (chain at minimum)
 
 
-def test_connected_components_chain(ray_session):
-    """A 60-node path graph: pointer jumping must converge well inside the
-    round cap (neighbor-only propagation would need ~60 rounds)."""
+DISTRIBUTED = EngineConfig(max_cc_rounds=10, cc_driver_max_edges=-1)
+
+
+def test_connected_components_chain_distributed(ray_session):
+    """A 60-node path graph through the DISTRIBUTED rounds: pointer jumping
+    must converge well inside the round cap (neighbor-only propagation
+    would need ~60 rounds)."""
     nodes = [f"n{i:03d}" for i in range(60)]
     edges = pa.table(
         {
@@ -114,22 +118,24 @@ def test_connected_components_chain(ray_session):
             "doc_id_b": nodes[1:],
         }
     )
-    labels = connected_components(
-        ray.data.from_arrow(edges), config=EngineConfig(max_cc_rounds=10)
-    )
+    labels = connected_components(ray.data.from_arrow(edges), config=DISTRIBUTED)
     out = {r["node"]: r["label"] for r in labels.take_all()}
     assert set(out.values()) == {"n000"}
     assert len(out) == 60
 
 
-def test_connected_components_two_components_and_singleton(ray_session):
+def test_connected_components_both_paths_identical(ray_session):
     edges = pa.table(
         {"doc_id_a": ["a", "b", "x"], "doc_id_b": ["b", "c", "y"]}
     )
     nodes = ray.data.from_arrow(pa.table({"node": ["a", "b", "c", "x", "y", "solo"]}))
-    labels = connected_components(ray.data.from_arrow(edges), nodes=nodes)
-    out = {r["node"]: r["label"] for r in labels.take_all()}
-    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo"}
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo"}
+    # driver fast path
+    l1 = connected_components(ray.data.from_arrow(edges), nodes=nodes)
+    assert {r["node"]: r["label"] for r in l1.take_all()} == want
+    # distributed star-contraction path
+    l2 = connected_components(ray.data.from_arrow(edges), nodes=nodes, config=DISTRIBUTED)
+    assert {r["node"]: r["label"] for r in l2.take_all()} == want
 
 
 def test_connected_components_no_edges(ray_session):
@@ -137,6 +143,22 @@ def test_connected_components_no_edges(ray_session):
         pa.table({"doc_id_a": pa.array([], pa.string()), "doc_id_b": pa.array([], pa.string())})
     )
     nodes = ray.data.from_arrow(pa.table({"node": ["p", "q"]}))
-    labels = connected_components(empty_edges, nodes=nodes)
-    out = {r["node"]: r["label"] for r in labels.take_all()}
-    assert out == {"p": "p", "q": "q"}
+    for cfg in (EngineConfig(), DISTRIBUTED):
+        labels = connected_components(empty_edges, nodes=nodes, config=cfg)
+        out = {r["node"]: r["label"] for r in labels.take_all()}
+        assert out == {"p": "p", "q": "q"}
+
+
+def test_connected_components_random_graph_paths_agree(ray_session):
+    """Randomized cross-check: both paths must produce identical labels."""
+    rng = np.random.default_rng(5)
+    n = 120
+    a = [f"v{int(i):03d}" for i in rng.integers(0, n, 150)]
+    b = [f"v{int(i):03d}" for i in rng.integers(0, n, 150)]
+    edges = pa.table({"doc_id_a": a, "doc_id_b": b})
+    nodes = ray.data.from_arrow(pa.table({"node": [f"v{i:03d}" for i in range(n)]}))
+    l1 = connected_components(ray.data.from_arrow(edges), nodes=nodes)
+    l2 = connected_components(ray.data.from_arrow(edges), nodes=nodes, config=DISTRIBUTED)
+    d1 = {r["node"]: r["label"] for r in l1.take_all()}
+    d2 = {r["node"]: r["label"] for r in l2.take_all()}
+    assert d1 == d2
