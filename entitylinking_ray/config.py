@@ -23,6 +23,16 @@ class EngineConfig:
     lsh_bands: int = 16  # bands * rows == minhash_perms
     lsh_rows: int = 4
 
+    # --- LSH verify (standard band-collision verification) ---
+    # Candidate pairs generated under LSH band keys are verified with a
+    # MinHash-prefix Jaccard estimate before they are emitted; pairs from
+    # exact-name and media keys are trusted. Kills the long tail of
+    # random band collisions (measured 10M -> ~1.5M candidates at 200k
+    # docs) at negligible recall cost: a true duplicate pair has shingle
+    # Jaccard >= ~0.5, and P(est < 0.25 | J = 0.5, 24 perms) < 1%.
+    lsh_verify_perms: int = 24
+    lsh_verify_min_jaccard: float = 0.25
+
     # --- blocking skew control (SURVEY §7.4 "hot blocking keys") ---
     # Blocks with <= max_full_block_size members emit all O(n^2) pairs;
     # larger (hot) blocks fall back to a deterministic sorted-neighborhood

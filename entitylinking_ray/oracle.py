@@ -41,20 +41,16 @@ def doc_block_keys(sig: dict, cfg: EngineConfig) -> list[str]:
     return keys
 
 
-def oracle_cluster(docs: pa.Table, cfg: EngineConfig | None = None) -> dict[str, str]:
-    """Full replay: docs table (doc_id, spans) -> {doc_id: cluster_id}."""
-    cfg = cfg or EngineConfig()
-    perms = make_minhash_perms(cfg.minhash_perms, cfg.seed)
-    rows = docs.to_pylist()
-    sigs = {r["doc_id"]: doc_signature(r["spans"], cfg, perms) for r in rows}
-
-    blocks: dict[str, list[str]] = {}
-    for did, sig in sigs.items():
-        for k in doc_block_keys(sig, cfg):
-            blocks.setdefault(k, []).append(did)
-
+def _blocked_pairs(
+    blocks: dict[str, list[str]], sigs: dict[str, dict], cfg: EngineConfig
+) -> set[tuple[str, str]]:
+    """Replay pair generation incl. the LSH verify step: pairs from band
+    keys ("B...") must pass the MinHash-prefix Jaccard estimate; exact-name
+    and media keys are trusted (mirrors stages/blocking._pairs_in_bucket)."""
+    vp = cfg.lsh_verify_perms
+    theta = cfg.lsh_verify_min_jaccard
     pair_set: set[tuple[str, str]] = set()
-    for _key, members in blocks.items():
+    for key, members in blocks.items():
         members = sorted(set(members))
         n = len(members)
         if n < 2:
@@ -70,7 +66,29 @@ def oracle_cluster(docs: pa.Table, cfg: EngineConfig | None = None) -> dict[str,
                 for i in range(n)
                 for j in range(i + 1, min(i + 1 + w, n))
             )
-        pair_set.update(gen)
+        if key.startswith("B"):
+            for a, b in gen:
+                est = (sigs[a]["minhash"][:vp] == sigs[b]["minhash"][:vp]).mean()
+                if est >= theta:
+                    pair_set.add((a, b))
+        else:
+            pair_set.update(gen)
+    return pair_set
+
+
+def oracle_cluster(docs: pa.Table, cfg: EngineConfig | None = None) -> dict[str, str]:
+    """Full replay: docs table (doc_id, spans) -> {doc_id: cluster_id}."""
+    cfg = cfg or EngineConfig()
+    perms = make_minhash_perms(cfg.minhash_perms, cfg.seed)
+    rows = docs.to_pylist()
+    sigs = {r["doc_id"]: doc_signature(r["spans"], cfg, perms) for r in rows}
+
+    blocks: dict[str, list[str]] = {}
+    for did, sig in sigs.items():
+        for k in doc_block_keys(sig, cfg):
+            blocks.setdefault(k, []).append(did)
+
+    pair_set = _blocked_pairs(blocks, sigs, cfg)
 
     scorer = PairScorer(cfg)
     pairs = sorted(pair_set)
@@ -116,24 +134,7 @@ def oracle_edges(docs: pa.Table, cfg: EngineConfig | None = None):
     for did, sig in sigs.items():
         for k in doc_block_keys(sig, cfg):
             blocks.setdefault(k, []).append(did)
-    pair_set: set[tuple[str, str]] = set()
-    for members in blocks.values():
-        members = sorted(set(members))
-        n = len(members)
-        if n < 2:
-            continue
-        if n <= cfg.max_full_block_size:
-            pair_set.update(
-                (members[i], members[j]) for i in range(n) for j in range(i + 1, n)
-            )
-        else:
-            w = cfg.hot_block_window
-            pair_set.update(
-                (members[i], members[j])
-                for i in range(n)
-                for j in range(i + 1, min(i + 1 + w, n))
-            )
-    pairs = sorted(pair_set)
+    pairs = sorted(_blocked_pairs(blocks, sigs, cfg))
     scorer = PairScorer(cfg)
     s = scorer.score(
         [sigs[a]["name_norm"] for a, _ in pairs],

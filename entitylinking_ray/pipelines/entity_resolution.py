@@ -46,7 +46,9 @@ def resolve_entities(
     sigs = extract_signatures(docs, cfg)
     pairs = candidate_pairs(block_keys(sigs, cfg), cfg)
     edges = score_pairs(pairs, cfg)
-    labels = connected_components(edges, nodes=_nodes_of(sigs), config=cfg)
+    labels = connected_components(
+        edges, nodes=_nodes_of(sigs), config=cfg, assume_unique_nodes=True
+    )
     return clusters_from_labels(labels)
 
 

@@ -22,16 +22,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from entitylinking_ray.util import num_join_partitions as _num_partitions
 from entitylinking_ray.util import sanitize_blocks
-
-
-def _num_partitions() -> int:
-    try:
-        import ray
-
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:
-        return 4
 
 
 def _f1(tp: float, fp: float, fn: float) -> dict:

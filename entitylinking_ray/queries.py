@@ -57,11 +57,10 @@ def _t(sf_dir: str, name: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _nparts() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:
-        return 4
+def _nparts(rows_hint: int | None = None) -> int:
+    from entitylinking_ray.util import num_join_partitions
+
+    return num_join_partitions(rows_hint)
 
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -230,10 +229,13 @@ def q_join_large(sf_dir: str):
             {"l_orderkey": b["l_orderkey"], "rev_c": _fixed(r, 10000)}
         )
 
+    import pyarrow.parquet as pq
+
+    li_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     j = li.map_batches(rev, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=_nparts(),
+        num_partitions=_nparts(li_rows),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -905,6 +907,72 @@ GROUP BY label, r
 
 
 # ---------------------------------------------------------------------------
+# entity linking vs a catalog (the reference's core task; broadcast path)
+# ---------------------------------------------------------------------------
+
+_MENTION_SQL = f"array_to_string(list_slice(string_split({_NORM_SQL}, ' '), 1, 3), ' ')"
+
+
+def q_extract_mentions(sf_dir: str):
+    """Deterministic mention extraction from flat text (M13-M15 analog:
+    leading-token fallback, as the fallback NER does on caseless text)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        mentions = [" ".join(normalize(t or "").split(" ")[:3]) for t in texts]
+        return pa.table(
+            {"doc_id": b["doc_id"], "mention": pa.array(mentions, pa.string())}
+        )
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+SQL_EXTRACT_MENTIONS = f"SELECT doc_id, {_MENTION_SQL} AS mention FROM documents"
+
+
+def q_entity_linking(sf_dir: str):
+    """Link each document's mention to the best entity in a catalog built
+    from the part table: broadcast catalog (ray.put once, fetched in actor
+    __init__), exhaustive Jaro-Winkler argmax with (score desc, entity_id
+    asc) tie-break — the reference's deterministic decision rule
+    (OneNet/data_process.py:372-374) without the LLM."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.entity_linking import link_to_catalog
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    mentions = q_extract_mentions(sf_dir)
+    return link_to_catalog(
+        mentions,
+        part["p_partkey"].to_pylist(),
+        part["p_name"].to_pylist(),
+        mention_col="mention",
+        id_col="doc_id",
+        top_k=1,
+    )
+
+
+SQL_ENTITY_LINKING = f"""
+WITH m AS (
+  SELECT doc_id, {_MENTION_SQL} AS mention FROM documents
+), c AS (
+  SELECT p_partkey AS entity_id,
+         lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS title
+  FROM part
+)
+SELECT doc_id, entity_id,
+       jaro_winkler_similarity(m.mention, c.title) AS score,
+       row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY jaro_winkler_similarity(m.mention, c.title) DESC, entity_id
+       ) AS "rank"
+FROM m, c
+QUALIFY "rank" <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship ER (rows-only: clustering is not SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -952,6 +1020,8 @@ QUERIES = {
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
     "embed_centroids": q_embed_centroids,
+    "extract_mentions": q_extract_mentions,
+    "entity_linking": q_entity_linking,
     "er_clusters": q_er_clusters,
 }
 
@@ -977,5 +1047,7 @@ ORACLE_SQL = {
     "unionfind_events": SQL_UNIONFIND_EVENTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embed_centroids": SQL_EMBED_CENTROIDS,
+    "extract_mentions": SQL_EXTRACT_MENTIONS,
+    "entity_linking": SQL_ENTITY_LINKING,
     # dedup_minhash / dedup_simhash / er_clusters: not SQL-expressible
 }

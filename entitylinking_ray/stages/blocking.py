@@ -27,9 +27,8 @@ per-group first, deterministic by smallest block_key).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -49,10 +48,13 @@ def _n_buckets() -> int:
     return max(16, cpus * 4)
 
 
-def _bucket_of(keys: list[str], n: int) -> pa.Array:
-    return pa.array(
-        [zlib.crc32(k.encode()) % n for k in keys], pa.int32()
-    )
+def _bucket_of(keys, n: int) -> pa.Array:
+    """Vectorized shuffle-bucket assignment (pandas C string hash — the
+    bucket only controls partitioning, never output values, so it need not
+    be stable across library versions)."""
+    arr = np.asarray(keys, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return pa.array((h % np.uint64(n)).astype(np.int32), pa.int32())
 
 
 def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.Table:
@@ -66,26 +68,31 @@ def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.T
     mh = mh_flat.reshape(len(batch), cfg.minhash_perms)
     media_refs = batch.column("media_refs").to_pylist()
 
+    vp = cfg.lsh_verify_perms
     keys: list[str] = []
     out_ids: list[str] = []
     out_norm: list[str] = []
     out_sorted: list[str] = []
+    out_prefix: list[list[int]] = []
     for i, did in enumerate(doc_ids):
         row_keys = [f"N:{names_sorted[i]}"]
         bh = band_hashes(mh[i], cfg.lsh_bands, cfg.lsh_rows)
         row_keys.extend(f"B{j}:{bh[j]:016x}" for j in range(cfg.lsh_bands))
         row_keys.extend(f"M:{r}" for r in media_refs[i])
+        prefix = mh[i, :vp].tolist()
         for k in row_keys:
             keys.append(k)
             out_ids.append(did)
             out_norm.append(names_norm[i])
             out_sorted.append(names_sorted[i])
+            out_prefix.append(prefix)
     t = pa.table(
         {
             "block_key": pa.array(keys, pa.string()),
             "doc_id": pa.array(out_ids, pa.string()),
             "name_norm": pa.array(out_norm, pa.string()),
             "name_sorted": pa.array(out_sorted, pa.string()),
+            "mh_prefix": pa.array(out_prefix, pa.list_(pa.uint64())),
         }
     )
     return t.append_column("bucket", _bucket_of(keys, n_buckets))
@@ -110,59 +117,97 @@ def _group_slices(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        got = np.triu_indices(n, k=1)
+        _TRIU_CACHE[n] = (got[0].astype(np.int64), got[1].astype(np.int64))
+        got = _TRIU_CACHE[n]
+    return got
+
+
+def _window_pairs(n: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-neighborhood pairs (i, i+d) for d in 1..w, fully vectorized."""
+    ii, jj = [], []
+    base = np.arange(n, dtype=np.int64)
+    for d in range(1, w + 1):
+        if d >= n:
+            break
+        ii.append(base[: n - d])
+        jj.append(base[d:])
+    if not ii:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    return np.concatenate(ii), np.concatenate(jj)
+
+
 def _pairs_in_bucket(group: pa.Table, cfg: EngineConfig) -> pa.Table:
     """All candidate pairs for every block key hashed into this bucket.
-    One Python call per BUCKET; the per-key loop below touches only keys
-    with >= 2 members."""
+    One Python call per BUCKET; pair index generation is numpy-vectorized
+    per equal-key run (triu for full blocks, shifted ranges for hot
+    windows), and the pair-key strings are built by an Arrow kernel."""
     order = pc.sort_indices(
         group, sort_keys=[("block_key", "ascending"), ("doc_id", "ascending")]
     )
     g = group.take(order)
-    keys = np.asarray(g.column("block_key").to_pylist(), dtype=object)
-    ids = np.asarray(g.column("doc_id").to_pylist(), dtype=object)
-    norms = np.asarray(g.column("name_norm").to_pylist(), dtype=object)
-    sorts = np.asarray(g.column("name_sorted").to_pylist(), dtype=object)
+    keys = g.column("block_key").to_numpy(zero_copy_only=False)
+    ids_arr = g.column("doc_id")
+    ids = ids_arr.to_numpy(zero_copy_only=False)
 
-    idx_a: list[int] = []
-    idx_b: list[int] = []
-    key_of_pair: list[str] = []
     cap = cfg.max_full_block_size
     w = cfg.hot_block_window
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    key_idx_parts: list[np.ndarray] = []
     for s, e in _group_slices(keys):
         n = e - s
         if n < 2:
             continue
-        key = keys[s]
         if n <= cap:
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    if ids[i] != ids[j]:
-                        idx_a.append(i)
-                        idx_b.append(j)
-                        key_of_pair.append(key)
+            iu, ju = _triu(n)
         else:
-            for i in range(s, e):
-                for j in range(i + 1, min(i + 1 + w, e)):
-                    if ids[i] != ids[j]:
-                        idx_a.append(i)
-                        idx_b.append(j)
-                        key_of_pair.append(key)
-    ia = np.asarray(idx_a, dtype=np.int64)
-    ib = np.asarray(idx_b, dtype=np.int64)
-    a_ids = ids[ia] if len(ia) else np.array([], dtype=object)
-    b_ids = ids[ib] if len(ib) else np.array([], dtype=object)
+            iu, ju = _window_pairs(n, w)
+        ia_parts.append(iu + s)
+        ib_parts.append(ju + s)
+        key_idx_parts.append(np.full(len(iu), s, dtype=np.int64))
+    if not ia_parts:
+        return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    kx = np.concatenate(key_idx_parts)
+    # duplicate doc rows under the same key (possible when the same doc/key
+    # row appears twice) produce self-pairs — drop them vectorized
+    keep = ids[ia] != ids[ib]
+    # LSH verify: pairs from band keys ("B...") must pass a MinHash-prefix
+    # Jaccard estimate; exact-name and media keys are trusted. This is the
+    # standard verify step after LSH banding — random band collisions
+    # between unrelated names are the bulk of candidates at scale.
+    vp = cfg.lsh_verify_perms
+    flat = pc.list_flatten(g.column("mh_prefix"))  # honors offsets/order
+    mh_mat = flat.to_numpy(zero_copy_only=False).reshape(len(g), vp)
+    est = (mh_mat[ia] == mh_mat[ib]).mean(axis=1)
+    is_band = np.array([k.startswith("B") for k in keys[kx]], dtype=bool)
+    keep &= (~is_band) | (est >= cfg.lsh_verify_min_jaccard)
+    if not keep.all():
+        ia, ib, kx = ia[keep], ib[keep], kx[keep]
+
+    ia_pa = pa.array(ia)
+    ib_pa = pa.array(ib)
+    a_ids = ids_arr.take(ia_pa)
+    b_ids = ids_arr.take(ib_pa)
+    pair_key = pc.binary_join_element_wise(a_ids, b_ids, "|")
     return pa.table(
         {
-            "pair_key": pa.array(
-                [f"{a}|{b}" for a, b in zip(a_ids, b_ids)], pa.string()
-            ),
-            "doc_id_a": pa.array(a_ids, pa.string()),
-            "doc_id_b": pa.array(b_ids, pa.string()),
-            "name_a": pa.array(norms[ia] if len(ia) else [], pa.string()),
-            "name_b": pa.array(norms[ib] if len(ib) else [], pa.string()),
-            "name_a_sorted": pa.array(sorts[ia] if len(ia) else [], pa.string()),
-            "name_b_sorted": pa.array(sorts[ib] if len(ib) else [], pa.string()),
-            "block_key": pa.array(key_of_pair, pa.string()),
+            "pair_key": pair_key,
+            "doc_id_a": a_ids,
+            "doc_id_b": b_ids,
+            "name_a": g.column("name_norm").take(ia_pa),
+            "name_b": g.column("name_norm").take(ib_pa),
+            "name_a_sorted": g.column("name_sorted").take(ia_pa),
+            "name_b_sorted": g.column("name_sorted").take(ib_pa),
+            "block_key": g.column("block_key").take(pa.array(kx)),
         },
         schema=PAIRS_SCHEMA,
     )
@@ -175,8 +220,11 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
         group, sort_keys=[("pair_key", "ascending"), ("block_key", "ascending")]
     )
     g = group.take(order)
-    keys = np.asarray(g.column("pair_key").to_pylist(), dtype=object)
-    starts = [s for s, _ in _group_slices(keys)]
+    keys = g.column("pair_key").to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        return g
+    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
     return g.take(pa.array(starts, pa.int64()))
 
 

@@ -94,10 +94,16 @@ class SignatureExtractor:
 def extract_signatures(
     docs: ray.data.Dataset, config: EngineConfig | None = None, batch_size: int = 4096
 ) -> ray.data.Dataset:
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     return docs.map_batches(
         SignatureExtractor,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=(1, max(4, cpus // 2)),
     )

@@ -32,7 +32,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from entitylinking_ray.config import EngineConfig
-from entitylinking_ray.util import sanitize_blocks
+from entitylinking_ray.util import num_join_partitions, sanitize_blocks
 
 
 def _num_partitions() -> int:
@@ -88,6 +88,7 @@ def _driver_union_find(
     a_col: str,
     b_col: str,
     node_col: str,
+    assume_unique_nodes: bool = False,
 ) -> ray.data.Dataset:
     """Small-edge-set fast path: stream the edge list to the driver and
     union in a dict with path compression; attach the larger root under the
@@ -145,11 +146,16 @@ def _driver_union_find(
             )
 
     extra = nodes.select_columns([node_col])
-    # dedupe node list, then assign (singletons label themselves)
-    distinct = extra.groupby(node_col).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return distinct.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+    if not assume_unique_nodes:
+        # dedupe node list, then assign (singletons label themselves)
+        from ray.data.aggregate import Count as _Count
+
+        extra = (
+            extra.groupby(node_col)
+            .aggregate(_Count(alias_name="_c"))
+            .select_columns([node_col])
+        )
+    return extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def _local_contract(batch: pa.Table) -> pa.Table:
@@ -198,20 +204,25 @@ def connected_components(
     b_col: str = "doc_id_b",
     node_col: str = "node",
     config: EngineConfig | None = None,
+    assume_unique_nodes: bool = False,
 ) -> ray.data.Dataset:
     """Return a Dataset (node, label): label = min node id in the component.
 
     ``nodes`` (a Dataset with column ``node_col``) may supply isolated
     nodes; endpoints of ``edges`` are always included. Small edge sets
     (<= cfg.cc_driver_max_edges) take a driver fast path; larger ones run
-    the distributed star-contraction rounds (identical output).
+    the distributed star-contraction rounds (identical output). Set
+    ``assume_unique_nodes`` when ``nodes`` is already distinct to skip a
+    dedup shuffle.
     """
     cfg = config or EngineConfig()
-    nparts = _num_partitions()
     edges_mat = edges.materialize()
     n_raw_edges = edges_mat.count()
     if n_raw_edges <= cfg.cc_driver_max_edges:
-        return _driver_union_find(edges_mat, nodes, a_col, b_col, node_col)
+        return _driver_union_find(
+            edges_mat, nodes, a_col, b_col, node_col, assume_unique_nodes
+        )
+    nparts = num_join_partitions(2 * n_raw_edges)
 
     edges_sym = sanitize_blocks(
         symmetrize_edges(edges_mat, a_col, b_col).map_batches(

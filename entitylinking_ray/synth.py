@@ -72,12 +72,17 @@ class CorpusSpec:
         self.n_docs = n_docs
         self.seed = seed
         self.hot_size = max(12, n_docs // 100)  # the deliberately hot group
-        # groups after the hot one have deterministic sizes in 1..5
+        # groups after the hot one have deterministic sizes: avg ~3 at test
+        # scale, avg ~6 for large corpora so the bench corpus stays inside
+        # the 40k-group unique-name space (200 adj x 100 noun-pairs x 2)
         sizes = [self.hot_size]
         total = self.hot_size
         g = 1
         while total < n_docs:
-            s = 1 + _mix(seed, g, 7) % 5
+            if n_docs > 50_000:
+                s = 2 + _mix(seed, g, 7) % 9
+            else:
+                s = 1 + _mix(seed, g, 7) % 5
             s = min(s, n_docs - total)
             sizes.append(s)
             total += s

@@ -5,6 +5,22 @@ from __future__ import annotations
 import ray.data
 
 
+def num_join_partitions(rows_hint: int | None = None) -> int:
+    """Partition count for hash joins/shuffles: scale with data volume,
+    capped by cluster CPUs. Each partition is a shuffle-aggregator ACTOR
+    whose startup costs ~0.5 s — 32 partitions for a 600k-row join was
+    measured 6x slower than 8. ~200k rows per partition amortizes that."""
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if rows_hint is None:
+        return min(cpus, 8)
+    return max(4, min(cpus, rows_hint // 200_000 + 4))
+
+
 def sanitize_blocks(ds: ray.data.Dataset, batch_size: int = 65536) -> ray.data.Dataset:
     """Coalesce blocks through a batched identity map.
 
