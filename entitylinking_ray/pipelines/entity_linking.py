@@ -34,12 +34,17 @@ from entitylinking_ray.functions.textnorm import normalize
 
 class CatalogLinker:
     """Actor-pool callable: catalog fetched from the object store once per
-    actor (ST2 analog — catalog + index in actor state)."""
+    actor (ST2 analog — catalog + index in actor state). Each entity is
+    matched on its title and all aliases (best name wins — the reference's
+    multi-query candidate union J12)."""
 
     def __init__(self, catalog_ref, mention_col: str, id_col: str, top_k: int = 1):
-        entity_ids, titles = ray.get(catalog_ref)
+        entity_ids, titles, aliases = ray.get(catalog_ref)
         self.entity_ids = entity_ids
-        self.titles = [normalize(t) for t in titles]
+        self.names = [
+            [normalize(t)] + [normalize(a) for a in (al or [])]
+            for t, al in zip(titles, aliases)
+        ]
         self.mention_col = mention_col
         self.id_col = id_col
         self.top_k = top_k
@@ -50,7 +55,7 @@ class CatalogLinker:
         if hit is not None:
             return hit
         jw = jaro_winkler
-        scores = [jw(mention, t) for t in self.titles]
+        scores = [max(jw(mention, nm) for nm in names) for names in self.names]
         # max score, ties by entity_id asc (ids are scored in id order when
         # the catalog is pre-sorted — enforced in link_to_catalog)
         order = sorted(range(len(scores)), key=lambda i: (-scores[i], self.entity_ids[i]))
@@ -84,6 +89,7 @@ def link_to_catalog(
     mentions: ray.data.Dataset,
     entity_ids: list,
     titles: list[str],
+    aliases: list[list[str]] | None = None,
     mention_col: str = "mention",
     id_col: str = "doc_id",
     top_k: int = 1,
@@ -92,11 +98,18 @@ def link_to_catalog(
     """Link each mention row to its best catalog entities (broadcast path).
 
     Returns (<id_col>, entity_id, score, rank). Deterministic: ties broken
-    by entity_id ascending.
+    by entity_id ascending. ``aliases[i]`` (optional) are alternative names
+    for entity i — the best-matching name's score is used.
     """
+    if aliases is None:
+        aliases = [[] for _ in entity_ids]
     order = sorted(range(len(entity_ids)), key=lambda i: entity_ids[i])
     catalog_ref = ray.put(
-        ([entity_ids[i] for i in order], [titles[i] for i in order])
+        (
+            [entity_ids[i] for i in order],
+            [titles[i] for i in order],
+            [aliases[i] for i in order],
+        )
     )
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -996,6 +996,105 @@ def q_er_clusters(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_blocking_recall(sf_dir: str):
+    """Blocking-stage candidate recall (A7/J6 analog) of the flagship ER
+    corpus against its labeled positive pairs (rows-only: one metrics row).
+    """
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.eval import recall_at_k
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.stages.blocking import block_keys as bk
+    from entitylinking_ray.stages.blocking import candidate_pairs as cp
+    from entitylinking_ray.stages.signatures import extract_signatures as ex
+    from entitylinking_ray.synth import labeled_pairs_table
+
+    cfg = EngineConfig()
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = max(200, 4 * n_rows)
+    docs = synthesize_documents(n_docs, seed=42)
+    pairs = cp(bk(ex(docs, cfg), cfg), cfg)
+    labeled = ray.data.from_arrow(labeled_pairs_table(n_docs, 42))
+    m = recall_at_k(pairs, labeled)
+    return pd.DataFrame(
+        [
+            {
+                "blocking_recall": m["blocking_recall"],
+                "positives": m["positives"],
+                "blocked": m["blocked"],
+            }
+        ]
+    )
+
+
+def q_btl_ranking(sf_dir: str):
+    """Bradley-Terry-Luce tournament ranking (A10 analog,
+    Sparkle/algorithms.py:17-89 semantics) over win/loss experiments
+    derived from events: in each (event_type, hour) bucket the user with
+    the highest fixed-point value-sum beats every other user present.
+    Rows-only (iterative EM fit is not SQL-expressible)."""
+    from entitylinking_ray.functions.ranking import fit_bradley_terry
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "bkey": b["event_type"]
+                + "|"
+                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
+                "val_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["bkey", "user_id"])
+        .aggregate(Sum("val_c", alias_name="val_c"))
+    )
+
+    def experiments(g: pa.Table) -> pa.Table:
+        import json as _json
+
+        order = pc.sort_indices(
+            g, sort_keys=[("val_c", "descending"), ("user_id", "ascending")]
+        )
+        users = g.column("user_id").take(order).to_pylist()
+        if len(users) < 2:
+            return pa.table({"exp": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "exp": pa.array(
+                    [
+                        _json.dumps(
+                            {
+                                "winners": [f"u{users[0]:012d}"],
+                                "losers": [f"u{u:012d}" for u in users[1:]],
+                            }
+                        )
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    exps_ds = agg.groupby("bkey").map_groups(experiments, batch_format="pyarrow")
+    import json as _json
+
+    exps = [_json.loads(r["exp"]) for r in exps_ds.take_all()]
+    ranked = fit_bradley_terry(exps)
+    return pd.DataFrame(
+        {
+            "user_id": [int(u[1:]) for u, _ in ranked],
+            "rank": np.arange(1, len(ranked) + 1, dtype=np.int64),
+            "strength": [round(s, 6) for _, s in ranked],
+        }
+    )
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_groupby": q_agg_groupby,
@@ -1022,6 +1121,8 @@ QUERIES = {
     "embed_centroids": q_embed_centroids,
     "extract_mentions": q_extract_mentions,
     "entity_linking": q_entity_linking,
+    "blocking_recall": q_blocking_recall,
+    "btl_ranking": q_btl_ranking,
     "er_clusters": q_er_clusters,
 }
 

@@ -73,17 +73,31 @@ class Manifest:
         counters: dict | None = None,
     ) -> None:
         """Atomically promote ``<stage>.tmp`` to the committed dir and
-        record lineage. The rename is the commit point."""
+        record lineage — including per-partition (per output file) row
+        counts, so a resumed or audited run can account for every block
+        partition of every stage (north-rule per-partition lineage)."""
         final = self.stage_dir(name)
         tmp = final + ".tmp"
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        partitions = []
+        try:
+            import pyarrow.parquet as pq
+
+            for f in sorted(os.listdir(final)):
+                if f.endswith(".parquet"):
+                    partitions.append(
+                        {"file": f, "rows": pq.read_metadata(os.path.join(final, f)).num_rows}
+                    )
+        except Exception:
+            pass
         self._data["stages"][name] = {
             "fingerprint": fingerprint,
             "rows": rows,
             "wall_sec": round(wall_sec, 3),
             "counters": counters or {},
+            "partitions": partitions,
             "committed_at": time.time(),
         }
         self._save()
