@@ -709,11 +709,10 @@ def q_unionfind_events(sf_dir: str):
         )
         return out.drop_duplicates()
 
-    buckets = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "bkey"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["user_id", "bkey"])
+    from entitylinking_ray.util import distinct_rows
+
+    buckets = distinct_rows(
+        ds.map_batches(bucket, batch_format="pandas"), ["user_id", "bkey"]
     )
 
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
@@ -741,23 +740,18 @@ def q_unionfind_events(sf_dir: str):
             {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())}
         )
 
-    edges = (
-        hashed.groupby("hb")
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["id_a", "id_b"])
+    edges = distinct_rows(
+        hashed.groupby("hb").map_groups(pairs, batch_format="pyarrow"),
+        ["id_a", "id_b"],
     )
-    nodes = (
+    nodes = distinct_rows(
         ds.map_batches(
             lambda b: pa.table(
                 {"node": pa.array([f"u{u:012d}" for u in set(b["user_id"].to_pylist())], pa.string())}
             ),
             batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["node"])
+        ),
+        ["node"],
     )
     labels = connected_components(edges, nodes=nodes, a_col="id_a", b_col="id_b")
     # zero-padded ids make lexicographic min == numeric min, matching SQL

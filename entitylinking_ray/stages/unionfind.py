@@ -77,9 +77,9 @@ def symmetrize_edges(
 
 
 def _distinct_nodes(ds: ray.data.Dataset) -> ray.data.Dataset:
-    # Count aggregate = Ray's vectorized hash-aggregate path; a
-    # groupby().map_groups(first) here would pay per-group Python dispatch
-    return ds.groupby("node").aggregate(Count(alias_name="_c")).select_columns(["node"])
+    from entitylinking_ray.util import distinct_rows
+
+    return distinct_rows(ds, ["node"])
 
 
 def _driver_union_find(
@@ -148,13 +148,9 @@ def _driver_union_find(
     extra = nodes.select_columns([node_col])
     if not assume_unique_nodes:
         # dedupe node list, then assign (singletons label themselves)
-        from ray.data.aggregate import Count as _Count
+        from entitylinking_ray.util import distinct_rows
 
-        extra = (
-            extra.groupby(node_col)
-            .aggregate(_Count(alias_name="_c"))
-            .select_columns([node_col])
-        )
+        extra = distinct_rows(extra, [node_col])
     return extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
 
