@@ -72,11 +72,25 @@ def test_checkpoint_resume(ray_session, docs_tbl, tmp_path):
         for r in ray.data.read_parquet(s1["clusters_path"]).take_all()
     )
 
-    # simulate a crash after the pairs stage: drop edges + clusters
+    # per-partition lineage recorded for every completed stage
+    import json
+
+    with open(os.path.join(work, "manifest.json")) as f:
+        man = json.load(f)
+    for st in ("signatures", "pairs", "edges", "clusters"):
+        rec = man["stages"][st]
+        assert rec["partitions"], st
+        assert sum(p["rows"] for p in rec["partitions"]) == rec["rows"], st
+
+    # simulate a crash after the pairs stage: drop edges + clusters, and
+    # leave a half-written tmp dir behind (kill mid-stage-write)
     import shutil
 
     shutil.rmtree(os.path.join(work, "stage=edges"))
     shutil.rmtree(os.path.join(work, "stage=clusters"))
+    os.makedirs(os.path.join(work, "stage=edges.tmp"), exist_ok=True)
+    with open(os.path.join(work, "stage=edges.tmp", "partial.parquet"), "wb") as f:
+        f.write(b"garbage from a killed writer")
 
     s2 = run_checkpointed(input_path, work, CFG)
     assert s2["stages"]["signatures"]["resumed"]
