@@ -20,6 +20,8 @@ FAST_QUERIES = [
     "fingerprint",
     "window_hourly",
     "knn_bruteforce",
+    "entity_linking",
+    "extract_mentions",
 ]
 
 
