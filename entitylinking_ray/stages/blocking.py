@@ -69,11 +69,15 @@ def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.T
     media_refs = batch.column("media_refs").to_pylist()
 
     vp = cfg.lsh_verify_perms
+    is_new = (
+        batch.column("is_new").to_pylist() if "is_new" in batch.column_names else None
+    )
     keys: list[str] = []
     out_ids: list[str] = []
     out_norm: list[str] = []
     out_sorted: list[str] = []
     out_prefix: list[list[int]] = []
+    out_new: list[bool] = []
     for i, did in enumerate(doc_ids):
         row_keys = [f"N:{names_sorted[i]}"]
         bh = band_hashes(mh[i], cfg.lsh_bands, cfg.lsh_rows)
@@ -86,15 +90,18 @@ def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.T
             out_norm.append(names_norm[i])
             out_sorted.append(names_sorted[i])
             out_prefix.append(prefix)
-    t = pa.table(
-        {
-            "block_key": pa.array(keys, pa.string()),
-            "doc_id": pa.array(out_ids, pa.string()),
-            "name_norm": pa.array(out_norm, pa.string()),
-            "name_sorted": pa.array(out_sorted, pa.string()),
-            "mh_prefix": pa.array(out_prefix, pa.list_(pa.uint64())),
-        }
-    )
+            if is_new is not None:
+                out_new.append(bool(is_new[i]))
+    cols = {
+        "block_key": pa.array(keys, pa.string()),
+        "doc_id": pa.array(out_ids, pa.string()),
+        "name_norm": pa.array(out_norm, pa.string()),
+        "name_sorted": pa.array(out_sorted, pa.string()),
+        "mh_prefix": pa.array(out_prefix, pa.list_(pa.uint64())),
+    }
+    if is_new is not None:
+        cols["is_new"] = pa.array(out_new, pa.bool_())
+    t = pa.table(cols)
     return t.append_column("bucket", _bucket_of(keys, n_buckets))
 
 
@@ -143,11 +150,18 @@ def _window_pairs(n: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ii), np.concatenate(jj)
 
 
-def _pairs_in_bucket(group: pa.Table, cfg: EngineConfig) -> pa.Table:
+def _pairs_in_bucket(
+    group: pa.Table, cfg: EngineConfig, require_flag_col: str | None = None
+) -> pa.Table:
     """All candidate pairs for every block key hashed into this bucket.
     One Python call per BUCKET; pair index generation is numpy-vectorized
     per equal-key run (triu for full blocks, shifted ranges for hot
-    windows), and the pair-key strings are built by an Arrow kernel."""
+    windows), and the pair-key strings are built by an Arrow kernel.
+
+    ``require_flag_col``: name of a bool column; only pairs where at least
+    one side is flagged are emitted (incremental mode: pairs must touch a
+    NEW document — old-old connectivity is already encoded in the existing
+    cluster assignment)."""
     order = pc.sort_indices(
         group, sort_keys=[("block_key", "ascending"), ("doc_id", "ascending")]
     )
@@ -180,6 +194,9 @@ def _pairs_in_bucket(group: pa.Table, cfg: EngineConfig) -> pa.Table:
     # duplicate doc rows under the same key (possible when the same doc/key
     # row appears twice) produce self-pairs — drop them vectorized
     keep = ids[ia] != ids[ib]
+    if require_flag_col is not None:
+        flag = g.column(require_flag_col).to_numpy(zero_copy_only=False).astype(bool)
+        keep &= flag[ia] | flag[ib]
     # LSH verify: pairs from band keys ("B...") must pass a MinHash-prefix
     # Jaccard estimate; exact-name and media keys are trusted. This is the
     # standard verify step after LSH banding — random band collisions
@@ -229,13 +246,15 @@ def _dedup_bucket(group: pa.Table) -> pa.Table:
 
 
 def candidate_pairs(
-    keys: ray.data.Dataset, config: EngineConfig | None = None
+    keys: ray.data.Dataset,
+    config: EngineConfig | None = None,
+    require_flag_col: str | None = None,
 ) -> ray.data.Dataset:
     """Block-key rows -> deduped candidate pairs (PAIRS_SCHEMA)."""
     cfg = config or EngineConfig()
     nb = _n_buckets()
     pairs = keys.groupby("bucket").map_groups(
-        lambda g: _pairs_in_bucket(g, cfg), batch_format="pyarrow"
+        lambda g: _pairs_in_bucket(g, cfg, require_flag_col), batch_format="pyarrow"
     )
     rebucketed = pairs.map_batches(
         lambda b: b.append_column(
