@@ -990,6 +990,205 @@ def q_er_clusters(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped 5-table join: revenue per nation for one region —
+    two broadcast dims + one large-large hash join + fixed-point agg."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_keys = set(
+        region.filter(pc.equal(region["r_name"], region["r_name"][0]))[
+            "r_regionkey"
+        ].to_pylist()
+    )
+    # nations of the first region (deterministic pick), broadcast
+    nmap = {
+        int(k): str(n)
+        for k, n, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if rk in r_keys
+    }
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c2n = {
+        int(c): nmap[int(n)]
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+        if int(n) in nmap
+    }
+    cref = ray.put(c2n)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = b["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - b["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_c": _fixed(r, 10000)})
+
+    import pyarrow.parquet as _pq
+
+    li_rows = _pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    j = li.map_batches(rev, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=_nparts(li_rows),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    class AddNation:
+        def __init__(self):
+            self.c2n = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            names = [self.c2n.get(int(c)) for c in b["o_custkey"].to_pylist()]
+            mask = pa.array([n is not None for n in names])
+            t = pa.table(
+                {
+                    "n_name": pa.array([n or "" for n in names], pa.string()),
+                    "rev_c": b["rev_c"],
+                }
+            )
+            return t.filter(mask)
+
+    agg = (
+        j.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pc.divide(pc.cast(b["rev_c"], pa.float64()), 10000.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n_name, {_sql_fixed_sum("l_extendedprice * (1 - l_discount)", 10000, "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_regionkey IN (
+    SELECT r_regionkey FROM region
+    WHERE r_name = (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1))
+GROUP BY n_name
+"""
+
+
+def q_group_minmax(sf_dir: str):
+    """Per-group min-max normalization (M19 within partitions): two-pass —
+    tiny per-group extrema aggregate broadcast back into a map."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    ext = (
+        ds.groupby("l_returnflag")
+        .aggregate(Min("l_quantity"), Max("l_quantity"))
+        .to_pandas()
+    )
+    lut = {
+        r["l_returnflag"]: (r["min(l_quantity)"], r["max(l_quantity)"])
+        for _, r in ext.iterrows()
+    }
+    ref = ray.put(lut)
+
+    class Norm:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            flags = b["l_returnflag"].to_pylist()
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            lo = np.array([self.lut[f][0] for f in flags])
+            hi = np.array([self.lut[f][1] for f in flags])
+            rng = np.where(hi > lo, hi - lo, 1.0)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_linenumber": b["l_linenumber"],
+                    "norm_qty": (q - lo) / rng,
+                }
+            )
+
+    return ds.map_batches(Norm, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_GROUP_MINMAX = """
+SELECT l_orderkey, l_linenumber,
+       (l_quantity - min(l_quantity) OVER (PARTITION BY l_returnflag))
+     / (max(l_quantity) OVER (PARTITION BY l_returnflag)
+      - min(l_quantity) OVER (PARTITION BY l_returnflag)) AS norm_qty
+FROM lineitem
+"""
+
+
+def q_string_funcs(sf_dir: str):
+    """Vectorized Arrow string kernels (§2.8 scalar library): upper,
+    substring, length, concat."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(b["text"], 0, 12)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "head_upper": pc.utf8_upper(head),
+                "n_chars2": pc.utf8_length(b["text"]),
+                "tag": pc.binary_join_element_wise(
+                    b["lang"], pc.cast(b["doc_id"], pa.string()), ":"
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_STRING_FUNCS = """
+SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
+       length(text) AS n_chars2,
+       lang || ':' || CAST(doc_id AS VARCHAR) AS tag
+FROM documents
+"""
+
+
+def q_case_bucket(sf_dir: str):
+    """CASE-WHEN value bucketing + grouped counts (vectorized conditions)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bucket = np.where(v < 50, "low", np.where(v < 150, "mid", "high"))
+        return pa.table({"bucket": pa.array(bucket, pa.string())})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_CASE_BUCKET = """
+SELECT CASE WHEN value < 50 THEN 'low'
+            WHEN value < 150 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_blocking_recall(sf_dir: str):
     """Blocking-stage candidate recall (A7/J6 analog) of the flagship ER
     corpus against its labeled positive pairs (rows-only: one metrics row).
@@ -1117,6 +1316,10 @@ QUERIES = {
     "entity_linking": q_entity_linking,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
+    "revenue_by_nation": q_revenue_by_nation,
+    "group_minmax": q_group_minmax,
+    "string_funcs": q_string_funcs,
+    "case_bucket": q_case_bucket,
     "er_clusters": q_er_clusters,
 }
 
@@ -1144,5 +1347,9 @@ ORACLE_SQL = {
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "extract_mentions": SQL_EXTRACT_MENTIONS,
     "entity_linking": SQL_ENTITY_LINKING,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "group_minmax": SQL_GROUP_MINMAX,
+    "string_funcs": SQL_STRING_FUNCS,
+    "case_bucket": SQL_CASE_BUCKET,
     # dedup_minhash / dedup_simhash / er_clusters: not SQL-expressible
 }
