@@ -1288,6 +1288,106 @@ def q_btl_ranking(sf_dir: str):
     )
 
 
+def q_knn_lsh(sf_dir: str):
+    """Approximate (LSH-bucketed, multi-probe) cosine top-10 — the scale
+    path of similarity search. Rows-only: approximate by construction
+    (exactness of the brute-force baseline is oracled separately)."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.stages.knn import lsh_knn
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
+    queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
+    )
+    return lsh_knn(corpus, queries, k=10, n_planes=8, vec_col="embedding", id_col="vec_id")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: distinct media refs of the interleaved corpus
+    -> image-decode actor pool (deterministic stub features). Rows-only."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.stages.media import decode_images
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = synthesize_documents(max(200, 2 * n_rows), seed=42)
+    return decode_images(docs, dim=16)
+
+
+def q_plackett_luce(sf_dir: str):
+    """Plackett-Luce fit (A11 analog) over full per-bucket rankings derived
+    from events (each (event_type, hour) bucket ranks its users by
+    fixed-point value-sum). Rows-only (iterative fit)."""
+    from entitylinking_ray.functions.ranking import fit_plackett_luce
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "bkey": b["event_type"]
+                + "|"
+                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
+                "val_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["bkey", "user_id"])
+        .aggregate(Sum("val_c", alias_name="val_c"))
+    )
+
+    def ranking(g: pa.Table) -> pa.Table:
+        import json as _json
+
+        order = pc.sort_indices(
+            g, sort_keys=[("val_c", "descending"), ("user_id", "ascending")]
+        )
+        users = g.column("user_id").take(order).to_pylist()
+        if len(users) < 2:
+            return pa.table({"exp": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "exp": pa.array(
+                    [
+                        _json.dumps(
+                            {
+                                "winners": [f"u{u:012d}" for u in users[:-1]],
+                                "losers": [f"u{users[-1]:012d}"],
+                            }
+                        )
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+
+    import json as _json
+
+    exps = [
+        _json.loads(r["exp"])
+        for r in agg.groupby("bkey").map_groups(ranking, batch_format="pyarrow").take_all()
+    ]
+    ranked = fit_plackett_luce(exps)
+    return pd.DataFrame(
+        {
+            "user_id": [int(u[1:]) for u, _ in ranked],
+            "rank": np.arange(1, len(ranked) + 1, dtype=np.int64),
+            "strength": [round(s, 6) for _, s in ranked],
+        }
+    )
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_groupby": q_agg_groupby,
@@ -1320,6 +1420,9 @@ QUERIES = {
     "group_minmax": q_group_minmax,
     "string_funcs": q_string_funcs,
     "case_bucket": q_case_bucket,
+    "knn_lsh": q_knn_lsh,
+    "media_features": q_media_features,
+    "plackett_luce": q_plackett_luce,
     "er_clusters": q_er_clusters,
 }
 
