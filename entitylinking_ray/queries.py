@@ -1288,6 +1288,36 @@ def q_btl_ranking(sf_dir: str):
     )
 
 
+def q_er_f1(sf_dir: str):
+    """Flagship quality evidence in-contract: run the full ER pipeline on
+    the canonical corpus and score it against planted ground truth with
+    the contingency-count pairwise F1 (no pair materialization). Returns
+    one metrics row; the BASELINE target is f1 >= 0.99. Rows-only (the
+    clustering itself is not SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.entity_resolution import resolve_entities
+    from entitylinking_ray.pipelines.eval import pairwise_f1_from_assignments
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.synth import truth_table
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = max(200, 4 * n_rows)
+    clusters = resolve_entities(synthesize_documents(n_docs, seed=42), EngineConfig())
+    truth = ray.data.from_arrow(truth_table(n_docs, 42))
+    m = pairwise_f1_from_assignments(clusters, truth)
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "precision": round(m["precision"], 6),
+                "recall": round(m["recall"], 6),
+                "f1": round(m["f1"], 6),
+            }
+        ]
+    )
+
+
 def q_knn_lsh(sf_dir: str):
     """Approximate (LSH-bucketed, multi-probe) cosine top-10 — the scale
     path of similarity search. Rows-only: approximate by construction
@@ -1423,6 +1453,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "media_features": q_media_features,
     "plackett_luce": q_plackett_luce,
+    "er_f1": q_er_f1,
     "er_clusters": q_er_clusters,
 }
 
