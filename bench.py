@@ -145,11 +145,22 @@ def run_bench() -> dict:
 
 
 def _burn(_):
+    """Per-process workload for the hardware-ceiling probe: the engine's
+    own Jaro-Winkler kernel over a private word list — embarrassingly
+    parallel, no Ray, no shared state. More representative of the
+    pipeline's string-heavy compute than an ALU counter loop."""
+    import random
+
+    from entitylinking_ray.functions.strsim import jaro_winkler
+
+    rng = random.Random(123)
+    words = ["".join(rng.choice("abcdefgh ") for _ in range(20)) for _ in range(500)]
     t = time.time()
-    x = 0
-    while time.time() - t < 1.5:
-        x += 1
-    return x
+    n = 0
+    while time.time() - t < 2.0:
+        jaro_winkler(words[n % 500], words[(n * 7 + 3) % 500])
+        n += 1
+    return n
 
 
 def _hw_ceiling(lo: int, hi: int) -> float:
