@@ -10,22 +10,29 @@ from __future__ import annotations
 
 import re
 
-# ``phrase_pointwise_ans`` parity (OneNet/data_process.py:115-141): decode a
-# yes/no relatedness answer from model text — several answer/conclusion
-# patterns (LAST match wins), then negative phrases; DEFAULT True.
+# ``phrase_pointwise_ans`` parity (OneNet/data_process.py:355-381): the
+# reference tries each pattern with findall, stops at the FIRST pattern with
+# any match, takes the LAST match of that pattern, and answers False iff
+# 'no' appears (case-insensitive) inside the matched answer text; otherwise
+# it scans a fixed negative-phrase list; DEFAULT True.
 _ANS_PATTERNS = [
-    re.compile(r"answer is\s*:?\s*(yes|no)", re.I),
-    re.compile(r"answer\s*:?\s*(yes|no)", re.I),
-    re.compile(r"conclusion is\s*:?\s*(yes|no)", re.I),
-    re.compile(r"conclusion\s*:?\s*(yes|no)", re.I),
+    re.compile(r"[Aa]nswer is[:\s\n\*\"\']*[A-Za-z]+[\s\n\*\"\'\.]*"),
+    re.compile(r"[Aa]nswer[:\s\n\*\"\']*[A-Za-z]+[\s\n\*\"\'\.]*"),
+    re.compile(r"[Cc]onclusion[:\s\n\*\"\']*[A-Za-z]+[\s\n\*\"\'\.]*"),
+    re.compile(r"[Cc]onclusion is[:\s\n\*\"\']*[A-Za-z]+[\s\n\*\"\'\.]*"),
 ]
 _NEGATIVE_PHRASES = [
+    '"no"',
+    "'no'",
     "not related",
-    "no relation",
-    "unrelated",
-    "cannot be linked",
-    "does not refer",
-    "answer is no",
+    "cannot establish a relationship",
+    '"No"',
+    "'No'",
+    ": no",
+    ": No",
+    '"NO"',
+    "'NO'",
+    ": NO",
 ]
 
 
@@ -33,70 +40,87 @@ def phrase_pointwise_ans(text: str) -> bool:
     """Yes/no decode; default True (the reference keeps the pair when the
     answer is unparseable)."""
     t = text or ""
-    last = None
+    matches: list[str] = []
     for pat in _ANS_PATTERNS:
-        for m in pat.finditer(t):
-            last = m.group(1).lower()
-    if last is not None:
-        return last == "yes"
-    low = t.lower()
+        matches = pat.findall(t)
+        if matches:
+            break
+    if matches:
+        return "no" not in matches[-1].lower()
     for neg in _NEGATIVE_PHRASES:
-        if neg in low:
+        if neg in t:
             return False
     return True
 
 
-# ``phrase_category`` parity (OneNet/data_process.py:143-156): earliest of 13
-# fixed Wikipedia categories present in the text; default 'Any'.
+# ``phrase_category`` parity (OneNet/data_process.py:143-156 / 383-397):
+# earliest of the 13 Wikipedia top-level categories present in the
+# lowercased text (ties broken by category name ascending); matches and
+# returns the LOWERCASED category; default 'Any'.
 CATEGORIES = [
-    "Person",
-    "Organization",
-    "Location",
-    "Event",
-    "Work of art",
-    "Product",
-    "Building",
-    "Natural place",
-    "Species",
-    "Disease",
-    "Chemical",
-    "Astronomical object",
-    "Any",
+    "General reference",
+    "Culture and the arts",
+    "Geography and places",
+    "Health and fitness",
+    "History and events",
+    "Human activities",
+    "Mathematics and logic",
+    "Natural and physical sciences",
+    "People and self",
+    "Philosophy and thinking",
+    "Religion and belief systems",
+    "Society and social sciences",
+    "Technology and applied sciences",
 ]
 
 
 def phrase_category(text: str) -> str:
-    t = text or ""
-    best_pos, best_cat = len(t) + 1, "Any"
-    for cat in CATEGORIES[:-1]:
-        p = t.find(cat)
-        if p != -1 and p < best_pos:
-            best_pos, best_cat = p, cat
-    return best_cat
+    t = (text or "").lower()
+    hits: list[tuple[int, str]] = []
+    for cat in CATEGORIES:
+        low = cat.lower()
+        p = t.find(low)
+        if p != -1:
+            hits.append((p, low))
+    if not hits:
+        return "Any"
+    hits.sort()
+    return hits[0][1]
 
 
 def result_decode(text: str, candidates: list[dict]) -> str:
-    """Listwise winner decode parity (OneNet/data_process.py:351-396):
-    find each candidate's name in the lowercased response; earliest
-    first-occurrence wins, ties broken by (position, len desc, name);
-    fallback: whitespace-stripped containment; default 'none'."""
+    """Listwise winner decode parity (OneNet/data_process.py:351-396,
+    ``first_or_last='first'``): lowercase the response, find each
+    candidate's id in it (earliest first-occurrence wins, ties broken by
+    (position, id length ASC, id)); if no id hits, squash whitespace and
+    match candidate names with position ``find(name) - len(name)`` and the
+    same (position, len ASC, name) tie-break; default 'none'."""
     t = (text or "").lower()
-    hits = []
+    # phase 1: candidate ids present in the raw lowered response
+    id_hits: list[tuple[int, int, str]] = []
     for c in candidates:
-        name = str(c.get("title") or c.get("name") or "").lower()
-        if not name:
+        cid = str(c.get("document_id") or "")
+        if not cid:
             continue
-        pos = t.find(name)
+        pos = t.find(cid.lower())
         if pos != -1:
-            hits.append((pos, -len(name), name, str(c.get("document_id"))))
-    if hits:
-        hits.sort()
-        return hits[0][3]
-    squashed = re.sub(r"\s+", "", t)
+            id_hits.append((pos, len(cid), cid))
+    if id_hits:
+        id_hits.sort()
+        return id_hits[0][2]
+    # phase 2: whitespace-squashed name containment
+    squashed = t.replace(" ", "")
+    name_hits: list[tuple[int, int, str, str]] = []
     for c in candidates:
         name = re.sub(r"\s+", "", str(c.get("title") or c.get("name") or "").lower())
-        if name and name in squashed:
-            return str(c.get("document_id"))
+        if not name:
+            continue
+        pos = squashed.find(name)
+        if pos != -1:
+            name_hits.append((pos - len(name), len(name), name, str(c.get("document_id"))))
+    if name_hits:
+        name_hits.sort()
+        return name_hits[0][3]
     return "none"
 
 

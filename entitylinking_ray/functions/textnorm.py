@@ -42,13 +42,15 @@ def normalize_arrow(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArr
 
 
 def cut_context(left: str, right: str) -> tuple[str, str]:
-    """Shorten long contexts like the reference's ``cut_context``
-    (``OneNet/data_process.py:172-191``): keep the left context from just
-    after its first '.' to the end, and the right context up to (and
-    including) its first '.'. If no '.', the side is unchanged.
+    """Shorten long contexts exactly like the reference's ``cut_context``
+    (``OneNet/data_process.py:172-191``): the left context keeps its FIRST
+    sentence (through the first '.') plus the tail after its LAST '.'; the
+    right context keeps everything up to (and including) its first '.'.
+    A side with no '.' is unchanged.
     """
-    li = left.find(".")
-    cut_left = left[li + 1 :].lstrip() if li != -1 else left
+    last = left.rfind(".")
+    first = left.find(".")
+    cut_left = left if last == -1 else left[: first + 1] + left[last + 1 :]
     ri = right.find(".")
     cut_right = right[: ri + 1] if ri != -1 else right
     return cut_left, cut_right

@@ -24,7 +24,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.functions.strsim import jaro_winkler_batch, levenshtein
-from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id, quality_score
+from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id
 from entitylinking_ray.functions.textnorm import normalize
 from entitylinking_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_dedup
 from entitylinking_ray.stages.knn import brute_force_knn
@@ -274,11 +274,10 @@ def q_semi_join(sf_dir: str):
 
     class SemiFilter:
         def __init__(self):
-            self.keys = ray.get(kref)
+            self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys for k in b["c_custkey"].to_pylist()])
-            return b.filter(mask)
+            return b.filter(pc.is_in(b["c_custkey"], value_set=self.keys))
 
     return ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -306,11 +305,10 @@ def q_anti_join(sf_dir: str):
 
     class AntiFilter:
         def __init__(self):
-            self.keys = ray.get(kref)
+            self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys for k in b["c_custkey"].to_pylist()])
-            return b.filter(mask)
+            return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=self.keys)))
 
     return ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -414,10 +412,16 @@ def q_textstats(sf_dir: str):
     def stats(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
         toks = [normalize(t or "").split(" ") for t in texts]
-        n_tok = [len([x for x in t if x]) for t in toks]
-        n_dis = [len({x for x in t if x}) for t in toks]
-        ratio = [d / n if n else 0.0 for d, n in zip(n_dis, n_tok)]
-        qual = [quality_score(t or "") for t in texts]
+        # DuckDB convention: string_split('', ' ') = [''] — one (empty)
+        # token. Counting raw split elements matches the oracle exactly on
+        # empty/whitespace-only texts too (normalize collapses interior
+        # whitespace, so no empty tokens occur elsewhere).
+        n_tok = [len(t) for t in toks]
+        n_dis = [len(set(t)) for t in toks]
+        ratio = [d / n for d, n in zip(n_dis, n_tok)]
+        qual = [
+            0.5 * min(1.0, n / 100.0) + 0.5 * r for n, r in zip(n_tok, ratio)
+        ]
         return pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -658,20 +662,46 @@ FROM events GROUP BY 1, 2
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — the engine's
-    streaming-shaped pattern: partition by key, sort by ts within the
-    group, stateful pass inside map_groups."""
+    """Session windows (30-min inactivity gap) per user. Shuffle shape:
+    groupby a HASH BUCKET of user_id (one Python call per bucket), then a
+    single vectorized pass inside the bucket — sort by (user_id, ts,
+    event_id), mark gaps (> 30 min OR user boundary), per-user cumsum via
+    a grouped cumulative sum. Never ``groupby(user).map_groups`` (per-key
+    Python dispatch: measured 8 s vs 0.3 s at 35k keys — blocking.py)."""
+    from entitylinking_ray.stages.blocking import _n_buckets
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
+    nb = _n_buckets()
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        g["session_id"] = gap.cumsum().astype("int64") + 1
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_hb"] = (
+            pd.util.hash_array(b["user_id"].to_numpy(), categorize=False)
+            % np.uint64(nb)
+        ).astype("int32")
+        return b
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [], "session_id": []})
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)).to_numpy()
+        new_sess = (new_user | gap).astype("int64")
+        # per-user session counter: grouped cumsum of session starts
+        g["session_id"] = pd.Series(new_sess).groupby(pd.Series(uid)).cumsum().to_numpy()
         return g[["event_id", "user_id", "session_id"]]
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(sess_bucket, batch_format="pandas")
+    )
 
 
 SQL_SESSIONIZE = """
@@ -723,46 +753,57 @@ def q_unionfind_events(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    from entitylinking_ray.stages.blocking import _triu
+
     def pairs(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             group, sort_keys=[("bkey", "ascending"), ("user_id", "ascending")]
         )
         g = group.take(order)
-        keys = np.asarray(g["bkey"].to_pylist(), dtype=object)
-        users = g["user_id"].to_pylist()
-        a, b = [], []
+        keys = g["bkey"].to_numpy(zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ia_parts, ib_parts = [], []
         for s, e in _group_slices(keys):
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    a.append(f"u{users[i]:012d}")
-                    b.append(f"u{users[j]:012d}")
-        return pa.table(
-            {"id_a": pa.array(a, pa.string()), "id_b": pa.array(b, pa.string())}
-        )
+            n = e - s
+            if n < 2:
+                continue
+            iu, ju = _triu(n)
+            ia_parts.append(iu + s)
+            ib_parts.append(ju + s)
+        if not ia_parts:
+            return pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            )
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        # vectorized zero-padded ids (lexicographic min == numeric min)
+        ua = np.char.add("u", np.char.zfill(users[ia].astype("U12"), 12))
+        ub = np.char.add("u", np.char.zfill(users[ib].astype("U12"), 12))
+        return pa.table({"id_a": pa.array(ua), "id_b": pa.array(ub)})
 
     edges = distinct_rows(
         hashed.groupby("hb").map_groups(pairs, batch_format="pyarrow"),
         ["id_a", "id_b"],
     )
+    def node_batch(b: pa.Table) -> pa.Table:
+        uniq = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(np.char.add("u", np.char.zfill(uniq.astype("U12"), 12)))}
+        )
+
     nodes = distinct_rows(
-        ds.map_batches(
-            lambda b: pa.table(
-                {"node": pa.array([f"u{u:012d}" for u in set(b["user_id"].to_pylist())], pa.string())}
-            ),
-            batch_format="pyarrow",
-        ),
-        ["node"],
+        ds.map_batches(node_batch, batch_format="pyarrow"), ["node"]
     )
     labels = connected_components(edges, nodes=nodes, a_col="id_a", b_col="id_b")
     # zero-padded ids make lexicographic min == numeric min, matching SQL
     return labels.map_batches(
         lambda b: pa.table(
             {
-                "user_id": pa.array(
-                    [int(n[1:]) for n in b["node"].to_pylist()], pa.int64()
+                "user_id": pc.cast(
+                    pc.utf8_slice_codeunits(b["node"], 1, 13), pa.int64()
                 ),
-                "component": pa.array(
-                    [int(l[1:]) for l in b["label"].to_pylist()], pa.int64()
+                "component": pc.cast(
+                    pc.utf8_slice_codeunits(b["label"], 1, 13), pa.int64()
                 ),
             }
         ),
@@ -997,12 +1038,15 @@ def q_revenue_by_nation(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
+    # deterministic pick: the r_name of min(r_regionkey) — matches the
+    # oracle's explicit ORDER BY r_regionkey LIMIT 1 subquery regardless of
+    # the parquet file's physical row order
+    min_idx = pc.index(region["r_regionkey"], pc.min(region["r_regionkey"]).as_py()).as_py()
+    pick_name = region["r_name"][min_idx]
     r_keys = set(
-        region.filter(pc.equal(region["r_name"], region["r_name"][0]))[
-            "r_regionkey"
-        ].to_pylist()
+        region.filter(pc.equal(region["r_name"], pick_name))["r_regionkey"].to_pylist()
     )
-    # nations of the first region (deterministic pick), broadcast
+    # nations of the picked region, broadcast
     nmap = {
         int(k): str(n)
         for k, n, rk in zip(

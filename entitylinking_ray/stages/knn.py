@@ -7,6 +7,12 @@ The brute-force kernel is the reference's dense retrieval
 broadcast once via ``ray.put``, each ``map_batches`` task computes a
 partial top-k against its batch (bounding shuffle traffic at
 nq x k per batch), and a final per-query groupby merges partials.
+
+Determinism: cosine is computed in float64 (matching DuckDB's
+``list_cosine_similarity`` on DOUBLE), per-batch partials are truncated
+only AFTER a full (score desc, vec_id asc) sort — so a score-tied
+candidate with the smaller id is never dropped before the global merge —
+and the merge re-applies the same order.
 """
 
 from __future__ import annotations
@@ -22,8 +28,45 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(batch) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
     flat = col.values.to_numpy(zero_copy_only=False)
-    return flat.reshape(len(batch), -1).astype(np.float32)
+    return flat.reshape(len(batch), -1).astype(np.float64)
+
+
+def _sorted_topk(batch: pa.Table, scores: np.ndarray, ids: pa.Array, k: int) -> pa.Table:
+    """Per-batch partial top-k with full deterministic order: for each
+    query row of ``scores`` (nq x nb), emit its k best (score desc, id asc)
+    batch candidates, preserving the id column's Arrow type."""
+    nq, nb = scores.shape
+    kk = min(k, nb)
+    # sort candidate ids once; identical order used for every query's tie-break
+    id_order = pa.compute.sort_indices(ids).to_numpy(zero_copy_only=False)
+    inv = np.empty(nb, dtype=np.int64)
+    inv[id_order] = np.arange(nb)
+    qidx_parts, vidx_parts, sval_parts = [], [], []
+    for qi in range(nq):
+        # lexsort: primary -score, secondary id rank
+        order = np.lexsort((inv, -scores[qi]))[:kk]
+        qidx_parts.append(np.full(kk, qi, dtype=np.int64))
+        vidx_parts.append(order)
+        sval_parts.append(scores[qi][order])
+    if not qidx_parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], ids.type),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    take = pa.array(np.concatenate(vidx_parts), pa.int64())
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(qidx_parts), pa.int64()),
+            "vec_id": ids.take(take),
+            "score": pa.array(np.concatenate(sval_parts), pa.float64()),
+        }
+    )
 
 
 class _PartialTopK:
@@ -32,32 +75,42 @@ class _PartialTopK:
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        q = np.asarray(q, dtype=np.float64)
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], ids.type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         mat = _batch_matrix(batch, self.vec_col)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         scores = self.q @ mat.T  # (nq, nb)
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
-        k = min(self.k, scores.shape[1])
-        # partial top-k per query within this batch
-        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        qidx, vidx, svals = [], [], []
-        for qi in range(scores.shape[0]):
-            for j in part[qi]:
-                qidx.append(qi)
-                vidx.append(ids[j])
-                svals.append(float(scores[qi, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(qidx, pa.int64()),
-                "vec_id": pa.array([str(v) for v in vidx], pa.string()),
-                "score": pa.array(svals, pa.float64()),
-            }
+        return _sorted_topk(batch, scores, ids, self.k)
+
+
+def _merge_topk(k: int):
+    def merge(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[("score", "descending"), ("vec_id", "ascending")],
         )
+        top = group.take(order[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
+        )
+
+    return merge
 
 
 def brute_force_knn(
@@ -68,9 +121,10 @@ def brute_force_knn(
     id_col: str = "vec_id",
 ) -> ray.data.Dataset:
     """Exact cosine top-k of each query row against the full dataset.
-    Returns (query_id, rank, vec_id, score) — ties broken by vec_id asc.
+    Returns (query_id, rank, vec_id, score) — ties broken by vec_id asc;
+    vec_id keeps the input column's dtype.
     """
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
         _PartialTopK,
         fn_constructor_kwargs={
@@ -83,18 +137,7 @@ def brute_force_knn(
         batch_size=4096,
         concurrency=(1, 8),
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            group,
-            sort_keys=[("score", "descending"), ("vec_id", "ascending")],
-        )
-        top = group.take(order[:k])
-        return top.append_column(
-            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
 
 
 def lsh_knn(
@@ -112,9 +155,9 @@ def lsh_knn(
     distance ``probe_radius`` of the query's bucket (multi-probe). Same
     output schema as ``brute_force_knn``; recall < 1 by construction — the
     scale path when a full scan per query is too expensive."""
-    queries = np.asarray(queries, dtype=np.float32)
+    queries = np.asarray(queries, dtype=np.float64)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, queries.shape[1])).astype(np.float32)
+    planes = rng.standard_normal((n_planes, queries.shape[1]))
     qcodes = ((queries @ planes.T) > 0).astype(np.int64)
     qcode_ints = (qcodes * (1 << np.arange(n_planes))).sum(axis=1)
 
@@ -143,25 +186,35 @@ def lsh_knn(
             self.b2q = ray.get(b2q_ref)
             self.planes = ray.get(planes_ref)
             q = ray.get(qref)
-            self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
             mat = _batch_matrix(batch, vec_col)
-            norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
             codes = ((mat @ self.planes.T) > 0).astype(np.int64)
             code_ints = (codes * (1 << np.arange(n_planes))).sum(axis=1)
-            ids = batch.column(id_col).to_pylist()
             qidx, vidx, svals = [], [], []
             for i in range(len(ids)):
                 for qi in self.b2q.get(int(code_ints[i]), ()):
-                    s = float(self.q[qi] @ norm[i])
                     qidx.append(qi)
-                    vidx.append(str(ids[i]))
-                    svals.append(s)
+                    vidx.append(i)
+                    svals.append(float(self.q[qi] @ norm[i]))
+            take = pa.array(np.asarray(vidx, dtype=np.int64), pa.int64())
             return pa.table(
                 {
                     "query_id": pa.array(qidx, pa.int64()),
-                    "vec_id": pa.array(vidx, pa.string()),
+                    "vec_id": ids.take(take),
                     "score": pa.array(svals, pa.float64()),
                 }
             )
@@ -169,14 +222,4 @@ def lsh_knn(
     partials = ds.map_batches(
         Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
-        )
-        top = group.take(order[:k])
-        return top.append_column(
-            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64))
-        )
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")

@@ -151,7 +151,43 @@ def _driver_union_find(
         from entitylinking_ray.util import distinct_rows
 
         extra = distinct_rows(extra, [node_col])
-    return extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+    # materialized once: both the Assign and the coverage pass below read
+    # it, and without this the lazy upstream pipeline would execute twice
+    extra = extra.materialize()
+    assigned = extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+    # Edge endpoints absent from ``nodes`` must still get label rows (the
+    # connected_components contract: endpoints are always included; the
+    # distributed path unions them unconditionally). Collect only the
+    # covered subset of label_map keys (bounded by |label_map|, never by
+    # |nodes|), emit the difference from the driver-held map.
+    class Covered:
+        def __init__(self):
+            self.lm = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            hit = [n for n in b.column(node_col).to_pylist() if n in self.lm]
+            return pa.table({"node": pa.array(hit, pa.string())})
+
+    covered = {
+        r["node"]
+        for r in extra.map_batches(
+            Covered, batch_format="pyarrow", concurrency=(1, 4)
+        ).take_all()
+    }
+    missing = sorted(set(label_map) - covered)
+    if missing:
+        assigned = assigned.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(missing, pa.string()),
+                        "label": pa.array([label_map[m] for m in missing], pa.string()),
+                    }
+                )
+            )
+        )
+    return assigned
 
 
 def _local_contract(batch: pa.Table) -> pa.Table:

@@ -138,6 +138,18 @@ def test_connected_components_both_paths_identical(ray_session):
     assert {r["node"]: r["label"] for r in l2.take_all()} == want
 
 
+def test_connected_components_nodes_missing_endpoints(ray_session):
+    """Edge endpoints absent from ``nodes`` must still receive label rows
+    on BOTH paths (the docstring contract: endpoints are always included).
+    ``nodes`` here covers only {a, solo} — b, c, x, y come from edges."""
+    edges = pa.table({"doc_id_a": ["a", "b", "x"], "doc_id_b": ["b", "c", "y"]})
+    nodes = ray.data.from_arrow(pa.table({"node": ["a", "solo"]}))
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo"}
+    for cfg in (EngineConfig(), DISTRIBUTED):
+        labels = connected_components(ray.data.from_arrow(edges), nodes=nodes, config=cfg)
+        assert {r["node"]: r["label"] for r in labels.take_all()} == want
+
+
 def test_connected_components_no_edges(ray_session):
     empty_edges = ray.data.from_arrow(
         pa.table({"doc_id_a": pa.array([], pa.string()), "doc_id_b": pa.array([], pa.string())})

@@ -41,10 +41,15 @@ def test_split_context():
 
 
 def test_cut_context():
-    # keep left after its first '.', right up to its first '.'
-    left, right = cut_context("intro. keep this", "keep that. drop this")
-    assert left == "keep this"
+    # reference semantics (OneNet/data_process.py:172-191): left keeps its
+    # first sentence + the tail after its LAST '.'; right keeps up to its
+    # first '.' inclusive
+    left, right = cut_context("first. middle junk. tail", "keep that. drop this")
+    assert left == "first. tail"
     assert right == "keep that."
+    # a single '.' on the left leaves it unchanged (first == last)
+    left1, _ = cut_context("intro. keep this", "x")
+    assert left1 == "intro. keep this"
     left2, right2 = cut_context("no dot here", "none here either")
     assert left2 == "no dot here" and right2 == "none here either"
 
@@ -68,20 +73,29 @@ def test_pointwise_default_true():
 
 
 def test_phrase_category_earliest_wins():
-    assert phrase_category("a Location then a Person") == "Location"
+    # reference vocabulary: Wikipedia top-level categories, lowercased
+    # match, earliest position wins, lowercased return, default 'Any'
+    # (OneNet/data_process.py:143-156)
+    txt = "about Geography and places then People and self"
+    assert phrase_category(txt) == "geography and places"
+    assert phrase_category("PEOPLE AND SELF first") == "people and self"
     assert phrase_category("nothing known") == "Any"
 
 
 def test_result_decode():
     cands = [
-        {"document_id": "1", "title": "Apple Inc"},
-        {"document_id": "2", "title": "Apple"},
+        {"document_id": "d1", "title": "Apple Inc"},
+        {"document_id": "d2", "title": "Apple"},
     ]
-    # earliest occurrence wins; longer name wins at same position
-    assert result_decode("I think Apple Inc is right", cands) == "1"
+    # squashed-name phase: position is find(name) - len(name), so the
+    # longer name wins when both start at the same place (reference
+    # OneNet/data_process.py:378-391 'first' mode)
+    assert result_decode("I think Apple Inc is right", cands) == "d1"
     assert result_decode("no match at all", cands) == "none"
+    # id phase takes precedence over names when a candidate id appears
+    assert result_decode("the winner is d2", cands) == "d2"
     # whitespace-stripped containment fallback (no direct name occurrence)
-    assert result_decode("bigcorp yes", [{"document_id": "3", "title": "Big Corp"}]) == "3"
+    assert result_decode("bigcorp yes", [{"document_id": "d3", "title": "Big Corp"}]) == "d3"
 
 
 def test_summary_llm_process():
