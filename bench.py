@@ -111,7 +111,7 @@ def run_bench() -> dict:
     nodes = sigs.map_batches(
         lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
     )
-    labels = connected_components(edges, nodes=nodes, config=cfg)
+    labels = connected_components(edges, nodes=nodes, config=cfg, nodes_cover_endpoints=True)
     n_clusters_rows = clusters_from_labels(labels).count()
     headline = time.time() - t0
     assert n_clusters_rows == n_docs

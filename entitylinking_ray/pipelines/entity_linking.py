@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from entitylinking_ray.config import EngineConfig
-from entitylinking_ray.functions.strsim import jaro_winkler
+from entitylinking_ray.functions.strsim import jaro_winkler_batch
 from entitylinking_ray.functions.textnorm import normalize
 
 
@@ -41,10 +41,16 @@ class CatalogLinker:
     def __init__(self, catalog_ref, mention_col: str, id_col: str, top_k: int = 1):
         entity_ids, titles, aliases = ray.get(catalog_ref)
         self.entity_ids = entity_ids
-        self.names = [
-            [normalize(t)] + [normalize(a) for a in (al or [])]
-            for t, al in zip(titles, aliases)
-        ]
+        # flat name array + per-entity offsets: one batched JW call per
+        # distinct mention, per-entity max via a C-level reduceat
+        flat: list[str] = []
+        offsets: list[int] = [0]
+        for t, al in zip(titles, aliases):
+            flat.append(normalize(t))
+            flat.extend(normalize(a) for a in (al or []))
+            offsets.append(len(flat))
+        self.flat_names = flat
+        self.offsets = np.asarray(offsets[:-1], dtype=np.int64)
         self.mention_col = mention_col
         self.id_col = id_col
         self.top_k = top_k
@@ -54,12 +60,14 @@ class CatalogLinker:
         hit = self._cache.get(mention)
         if hit is not None:
             return hit
-        jw = jaro_winkler
-        scores = [max(jw(mention, nm) for nm in names) for names in self.names]
-        # max score, ties by entity_id asc (ids are scored in id order when
-        # the catalog is pre-sorted — enforced in link_to_catalog)
-        order = sorted(range(len(scores)), key=lambda i: (-scores[i], self.entity_ids[i]))
-        out = [(i, scores[i]) for i in order[: self.top_k]]
+        n_flat = len(self.flat_names)
+        scores_flat = jaro_winkler_batch([mention] * n_flat, self.flat_names)
+        scores = np.maximum.reduceat(scores_flat, self.offsets)
+        # max score, ties by entity_id asc (ids are scored in id order —
+        # the catalog is pre-sorted in link_to_catalog, so index order is
+        # id order and a stable lexsort on (-score, index) breaks ties)
+        order = np.lexsort((np.arange(len(scores)), -scores))[: self.top_k]
+        out = [(int(i), float(scores[i])) for i in order]
         if len(self._cache) > 1_000_000:
             self._cache.clear()
         self._cache[mention] = out
@@ -99,7 +107,8 @@ def link_to_catalog(
 
     Returns (<id_col>, entity_id, score, rank). Deterministic: ties broken
     by entity_id ascending. ``aliases[i]`` (optional) are alternative names
-    for entity i — the best-matching name's score is used.
+    for entity i — the best-matching name's score is used. For catalogs
+    too large for one ``ray.put``, use ``link_to_catalog_blocked``.
     """
     if aliases is None:
         aliases = [[] for _ in entity_ids]
@@ -127,3 +136,294 @@ def link_to_catalog(
         batch_size=2048,
         concurrency=max(2, cpus // 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# large-catalog path: blocked linking (no broadcast of the catalog)
+# ---------------------------------------------------------------------------
+
+# NIL sentinel: the reference resolves unlinkable mentions to the string
+# 'none' (OneNet/data_process.py:393 result_decode default) and skips
+# '<NIL>'/'<NO_MAPPING>' labels when loading (e2e/entity_database.py:96-97).
+# Numeric catalogs use -1 as the NIL entity id.
+NIL_ENTITY_ID = -1
+NIL_LABELS = frozenset({"<NIL>", "<NO_MAPPING>", "none"})
+
+
+def sorted_tokens(s: str) -> str:
+    """Sorted-distinct-token canonical form — SQL twin:
+    ``array_to_string(list_sort(list_distinct(string_split(x, ' '))), ' ')``."""
+    n = normalize(s)
+    return " ".join(sorted(set(n.split(" ")))) if n else ""
+
+
+def _link_block_keys(name_norm: str) -> list[str]:
+    """SQL-replayable blocking key family for catalog linking: first token
+    (``T:``) and sorted-distinct-token exact form (``N:``). Both are
+    expressible in DuckDB, so the blocked linking operator has an exact
+    oracle — unlike LSH bands. The ER pipeline's LSH family plugs into the
+    same shape when oracle parity is not required."""
+    toks = name_norm.split(" ") if name_norm else [""]
+    keys = [f"T:{toks[0]}"]
+    ns = " ".join(sorted(set(toks)))
+    if ns != toks[0]:
+        keys.append(f"N:{ns}")
+    return keys
+
+
+def link_to_catalog_blocked(
+    mentions: ray.data.Dataset,
+    catalog: ray.data.Dataset,
+    mention_col: str = "mention",
+    id_col: str = "doc_id",
+    entity_id_col: str = "entity_id",
+    title_col: str = "title",
+    top_k: int = 1,
+    nil_threshold: float | None = None,
+    config: EngineConfig | None = None,
+) -> ray.data.Dataset:
+    """Large-catalog entity linking: catalog and mentions are both
+    Datasets; neither is broadcast. Blocks mentions and catalog entries on
+    the shared key family (first token + sorted-name — ``_link_block_keys``),
+    scores Jaro-Winkler INSIDE each block bucket, then takes the
+    per-mention top-k via a hash-bucketed groupby (reference semantics:
+    retrieve candidates from an indexed catalog, score, argmax —
+    ``Sparkle/database.py:165-197``, ``e2e/entity_database.py:326-372``).
+
+    Semantics (exactly SQL-replayable, see SQL_ENTITY_LINKING_BLOCKED):
+    candidates = entries sharing a block key; score = JW(mention, title);
+    top-k by (score desc, entity_id asc); a mention with NO candidate gets
+    one NIL row (entity_id = -1, score = -1.0, rank = 1); with
+    ``nil_threshold``, rows whose score < threshold keep their score but
+    report entity_id = -1 (the reference's 'none' outcome).
+
+    Scale shape: two narrow shuffles (block key, then mention id), payload
+    = the strings being scored; catalog size is unbounded (never collected
+    to the driver or an actor). Hot first-token keys are bounded by
+    cfg.max_full_block_size * entities per mention... no — candidate count
+    per mention is bounded only by block sizes; cap hot keys upstream if
+    oracle parity is not required.
+    """
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+    from entitylinking_ray.util import num_join_partitions
+
+    cfg = config or EngineConfig()
+    nb = _n_buckets()
+    sch = mentions.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+
+    def mention_keys(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        ms = b.column(mention_col).to_pylist()
+        out_key, out_id, out_name = [], [], []
+        for i, m in zip(ids, ms):
+            nn = normalize(m or "")
+            for k in _link_block_keys(nn):
+                out_key.append(k)
+                out_id.append(i)
+                out_name.append(nn)
+        return pa.table(
+            {
+                "block_key": pa.array(out_key, pa.string()),
+                "side": pa.array(np.zeros(len(out_key), dtype=np.int8)),
+                "doc_id": pa.array(out_id, id_type),
+                "entity_id": pa.array([None] * len(out_key), pa.int64()),
+                "name": pa.array(out_name, pa.string()),
+            }
+        )
+
+    def catalog_keys(b: pa.Table) -> pa.Table:
+        eids = b.column(entity_id_col).to_pylist()
+        titles = b.column(title_col).to_pylist()
+        out_key, out_eid, out_name = [], [], []
+        for e, t in zip(eids, titles):
+            nn = normalize(t or "")
+            for k in _link_block_keys(nn):
+                out_key.append(k)
+                out_eid.append(int(e))
+                out_name.append(nn)
+        return pa.table(
+            {
+                "block_key": pa.array(out_key, pa.string()),
+                "side": pa.array(np.ones(len(out_key), dtype=np.int8)),
+                "doc_id": pa.array([None] * len(out_key), id_type),
+                "entity_id": pa.array(out_eid, pa.int64()),
+                "name": pa.array(out_name, pa.string()),
+            }
+        )
+
+    keyed = mentions.map_batches(mention_keys, batch_format="pyarrow").union(
+        catalog.map_batches(catalog_keys, batch_format="pyarrow")
+    )
+    hashed = keyed.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b.column("block_key").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        """One call per HASH bucket: sort by (block_key, side), detect
+        runs, cross mention x entity rows per key run, JW-score the
+        crossed name arrays in one batch call."""
+        from entitylinking_ray.functions.strsim import jaro_winkler_batch
+
+        order = pa.compute.sort_indices(
+            g,
+            sort_keys=[
+                ("block_key", "ascending"),
+                ("side", "ascending"),
+                ("entity_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        keys = g.column("block_key").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        names = g.column("name").to_numpy(zero_copy_only=False)
+        mi_parts, ei_parts = [], []
+        for s, e in _group_slices(keys):
+            # mentions (side 0) sort before entities (side 1) within a run
+            split = s + int(np.searchsorted(side[s:e], 1))
+            n_m, n_e = split - s, e - split
+            if n_m == 0 or n_e == 0:
+                continue
+            m_idx = np.arange(s, split, dtype=np.int64)
+            e_idx = np.arange(split, e, dtype=np.int64)
+            mi_parts.append(np.repeat(m_idx, n_e))
+            ei_parts.append(np.tile(e_idx, n_m))
+        if not mi_parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    "entity_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        mi = np.concatenate(mi_parts)
+        ei = np.concatenate(ei_parts)
+        scores = jaro_winkler_batch(names[mi], names[ei])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").take(pa.array(mi)),
+                "entity_id": g.column("entity_id").take(pa.array(ei)),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    cand = hashed.groupby("hb").map_groups(score_bucket, batch_format="pyarrow")
+
+    # per-mention top-k: hash-bucket by doc id, vectorized in-bucket
+    # (sort, dedup key-family duplicates, rank by run position)
+    rehashed = cand.map_batches(
+        lambda b: b.append_column(
+            "mb",
+            _bucket_of(
+                pa.compute.cast(b.column("doc_id"), pa.string()).to_pylist(), nb
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("entity_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    "entity_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        eids = g.column("entity_id").to_numpy(zero_copy_only=False)
+        # drop key-family duplicates: same (doc, entity) rows are adjacent
+        # after the sort (their scores are identical by construction)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = (ids[1:] != ids[:-1]) | (eids[1:] != eids[:-1])
+        keep_idx = np.nonzero(first)[0]
+        ids_k = ids[keep_idx]
+        # rank within each doc run
+        new_doc = np.empty(len(keep_idx), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = ids_k[1:] != ids_k[:-1]
+        run_start = np.maximum.accumulate(np.where(new_doc, np.arange(len(keep_idx)), 0))
+        rank = np.arange(len(keep_idx)) - run_start + 1
+        sel = rank <= top_k
+        take = pa.array(keep_idx[sel])
+        out = pa.table(
+            {
+                "doc_id": g.column("doc_id").take(take),
+                "entity_id": g.column("entity_id").take(take),
+                "score": g.column("score").take(take),
+                "rank": pa.array(rank[sel], pa.int64()),
+            }
+        )
+        return out
+
+    top = rehashed.groupby("mb").map_groups(topk_bucket, batch_format="pyarrow")
+
+    # NIL rows for mentions with no candidate at all: left-outer join the
+    # mention ids against the top-k result
+    from entitylinking_ray.util import sanitize_blocks
+
+    mention_ids = mentions.map_batches(
+        lambda b: pa.table({"doc_id": b.column(id_col)}), batch_format="pyarrow"
+    )
+    joined = sanitize_blocks(mention_ids).join(
+        sanitize_blocks(top),
+        join_type="left_outer",
+        num_partitions=num_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        eid = b.column("entity_id").to_numpy(zero_copy_only=False)
+        score = b.column("score").to_numpy(zero_copy_only=False)
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        nil = pd_isnull(eid)
+        eid = np.where(nil, NIL_ENTITY_ID, eid).astype(np.int64)
+        score = np.where(nil, -1.0, score).astype(np.float64)
+        rank = np.where(nil, 1, rank).astype(np.int64)
+        if nil_threshold is not None:
+            eid = np.where(score < nil_threshold, NIL_ENTITY_ID, eid)
+        return pa.table(
+            {
+                id_col: b.column("doc_id"),
+                "entity_id": pa.array(eid, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", batch_size=65536)
+
+
+def pd_isnull(arr: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.isnull(arr)
+
+
+def filter_nil_labels(
+    ds: ray.data.Dataset, label_col: str = "entity_id"
+) -> ray.data.Dataset:
+    """Drop rows whose label is a NIL marker — the reference skips
+    '<NIL>'/'<NO_MAPPING>' entities when building its database
+    (``e2e/entity_database.py:96-97`` D6)."""
+    nil = pa.array(sorted(NIL_LABELS))
+
+    def f(b: pa.Table) -> pa.Table:
+        col = pa.compute.cast(b.column(label_col), pa.string())
+        return b.filter(pa.compute.invert(pa.compute.is_in(col, value_set=nil)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

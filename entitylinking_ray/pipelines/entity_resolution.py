@@ -47,7 +47,8 @@ def resolve_entities(
     pairs = candidate_pairs(block_keys(sigs, cfg), cfg)
     edges = score_pairs(pairs, cfg)
     labels = connected_components(
-        edges, nodes=_nodes_of(sigs), config=cfg, assume_unique_nodes=True
+        edges, nodes=_nodes_of(sigs), config=cfg, assume_unique_nodes=True,
+        nodes_cover_endpoints=True,
     )
     return clusters_from_labels(labels)
 
@@ -119,7 +120,9 @@ def run_checkpointed(
         "clusters",
         f"clusters|{fp_e}",
         lambda: clusters_from_labels(
-            connected_components(edges, nodes=_nodes_of(sigs), config=cfg)
+            connected_components(
+                edges, nodes=_nodes_of(sigs), config=cfg, nodes_cover_endpoints=True
+            )
         ),
     )
     summary["clusters_path"] = man.stage_dir("clusters")

@@ -88,6 +88,7 @@ def incremental_resolve(
         )
     )
     labels = connected_components(
-        edges, nodes=all_nodes, config=cfg, assume_unique_nodes=True
+        edges, nodes=all_nodes, config=cfg, assume_unique_nodes=True,
+        nodes_cover_endpoints=True,
     )
     return clusters_from_labels(labels)

@@ -794,7 +794,9 @@ def q_unionfind_events(sf_dir: str):
     nodes = distinct_rows(
         ds.map_batches(node_batch, batch_format="pyarrow"), ["node"]
     )
-    labels = connected_components(edges, nodes=nodes, a_col="id_a", b_col="id_b")
+    labels = connected_components(
+        edges, nodes=nodes, a_col="id_a", b_col="id_b", nodes_cover_endpoints=True
+    )
     # zero-padded ids make lexicographic min == numeric min, matching SQL
     return labels.map_batches(
         lambda b: pa.table(
@@ -1004,6 +1006,204 @@ SELECT doc_id, entity_id,
        ) AS "rank"
 FROM m, c
 QUALIFY "rank" <= 1
+"""
+
+
+_SORTED_SQL = "array_to_string(list_sort(list_distinct(string_split({x}, ' '))), ' ')"
+_TITLE_SQL = "lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g')))"
+
+# Mention workload for the blocked-linking queries: every 8th part name,
+# perturbed three ways by key residue — exact (links with score 1),
+# token-reversed (found only via the sorted-name N: key, scores below the
+# NIL threshold), first-char-dropped (no block key hits -> NIL row). The
+# mix exercises both key families, ranking, and both NIL paths, and every
+# branch is SQL-replayable.
+_PART_MENTION_SQL = f"""SELECT p_partkey AS doc_id,
+       CASE WHEN ((p_partkey >> 3) & 3) IN (0, 3) THEN {_TITLE_SQL}
+            WHEN ((p_partkey >> 3) & 3) = 1
+                 THEN array_to_string(list_reverse(string_split({_TITLE_SQL}, ' ')), ' ')
+            ELSE substr({_TITLE_SQL}, 2) END AS mention
+FROM part WHERE (p_partkey & 7) = 0"""
+
+# shared CTE prefix: mentions + catalog with the SQL-replayable blocking
+# keys (first token T:, sorted-distinct-name N:) and blocked candidates
+_BLOCKED_CTES = f"""
+WITH m AS (
+  {_PART_MENTION_SQL}
+), mk AS (
+  SELECT doc_id, mention,
+         string_split(mention, ' ')[1] AS tok1,
+         {_SORTED_SQL.format(x="mention")} AS srt
+  FROM m
+), c AS (
+  SELECT p_partkey AS entity_id, {_TITLE_SQL} AS title FROM part
+), ck AS (
+  SELECT entity_id, title,
+         string_split(title, ' ')[1] AS tok1,
+         {_SORTED_SQL.format(x="title")} AS srt
+  FROM c
+), cand AS (
+  SELECT DISTINCT mk.doc_id, ck.entity_id,
+         jaro_winkler_similarity(mk.mention, ck.title) AS score
+  FROM mk JOIN ck ON (mk.tok1 = ck.tok1 OR mk.srt = ck.srt)
+)
+"""
+
+
+def q_entity_linking_blocked(sf_dir: str):
+    """Large-catalog entity linking (the reference's core task at scale):
+    catalog and mentions both stay distributed — blocked on the
+    SQL-replayable key family (first token + sorted name), Jaro-Winkler
+    scored inside block buckets, per-mention argmax, NIL sentinel (-1)
+    for unblocked mentions and scores below 0.9 (the reference's 'none'
+    outcome, ``OneNet/data_process.py:393``; catalog retrieval semantics
+    ``Sparkle/database.py:165-197``, ``e2e/entity_database.py:326-372``)."""
+    from entitylinking_ray.pipelines.entity_linking import link_to_catalog_blocked
+
+    mentions = _part_mentions(sf_dir)
+    catalog = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return link_to_catalog_blocked(
+        mentions,
+        catalog,
+        mention_col="mention",
+        id_col="doc_id",
+        entity_id_col="p_partkey",
+        title_col="p_name",
+        top_k=1,
+        nil_threshold=0.9,
+    )
+
+
+def _part_mentions(sf_dir: str):
+    """Perturbed-part-name mention table (SQL twin: _PART_MENTION_SQL)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["p_partkey"], 7), 0))
+        keys = b["p_partkey"].to_pylist()
+        names = b["p_name"].to_pylist()
+        mentions = []
+        for k, n in zip(keys, names):
+            t = normalize(n or "")
+            r = (k >> 3) & 3
+            if r in (0, 3):
+                mentions.append(t)
+            elif r == 1:
+                mentions.append(" ".join(reversed(t.split(" "))))
+            else:
+                mentions.append(t[1:])
+        return pa.table(
+            {"doc_id": b["p_partkey"], "mention": pa.array(mentions, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ENTITY_LINKING_BLOCKED = f"""
+{_BLOCKED_CTES},
+top AS (
+  SELECT doc_id, entity_id, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, entity_id) AS "rank"
+  FROM cand QUALIFY "rank" <= 1
+)
+SELECT doc_id,
+       CASE WHEN score < 0.9 THEN -1 ELSE entity_id END AS entity_id,
+       score, "rank"
+FROM top
+UNION ALL
+SELECT doc_id, -1 AS entity_id, -1.0 AS score, 1 AS "rank"
+FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
+"""
+
+
+def q_recall_at_k(sf_dir: str):
+    """Rank-based recall@1/5/10 (A7 — ``e2e/evaluation.py:490-535``): is
+    the GOLD entity (exhaustive catalog argmax, the broadcast path) inside
+    the blocked path's top-k candidates? One metrics row; measures the
+    candidate-generation quality of the blocked retrieval against the
+    exhaustive scorer."""
+    from entitylinking_ray.pipelines.entity_linking import (
+        link_to_catalog,
+        link_to_catalog_blocked,
+    )
+    from entitylinking_ray.util import num_join_partitions, sanitize_blocks
+
+    import pyarrow.parquet as pq
+
+    mentions = _part_mentions(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    gold = link_to_catalog(
+        mentions,
+        part["p_partkey"].to_pylist(),
+        part["p_name"].to_pylist(),
+        mention_col="mention",
+        id_col="doc_id",
+        top_k=1,
+    ).select_columns(["doc_id", "entity_id"])
+
+    catalog = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    top10 = link_to_catalog_blocked(
+        _part_mentions(sf_dir),
+        catalog,
+        mention_col="mention",
+        id_col="doc_id",
+        entity_id_col="p_partkey",
+        title_col="p_name",
+        top_k=10,
+    ).select_columns(["doc_id", "entity_id", "rank"])
+
+    hit = sanitize_blocks(gold).join(
+        sanitize_blocks(top10),
+        join_type="inner",
+        num_partitions=num_join_partitions(),
+        on=("doc_id", "entity_id"),
+    )
+    ranks = np.array([r["rank"] for r in hit.select_columns(["rank"]).take_all()])
+    n_docs = mentions.count()
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "recall_at_1": float((ranks <= 1).sum()) / n_docs,
+                "recall_at_5": float((ranks <= 5).sum()) / n_docs,
+                "recall_at_10": float((ranks <= 10).sum()) / n_docs,
+            }
+        ]
+    )
+
+
+SQL_RECALL_AT_K = f"""
+{_BLOCKED_CTES},
+top AS (
+  SELECT doc_id, entity_id, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, entity_id) AS "rank"
+  FROM cand QUALIFY "rank" <= 10
+), gold AS (
+  SELECT doc_id, entity_id FROM (
+    SELECT m.doc_id, c.entity_id,
+           row_number() OVER (
+               PARTITION BY m.doc_id
+               ORDER BY jaro_winkler_similarity(m.mention, c.title) DESC, c.entity_id
+           ) AS rn
+    FROM m, c) WHERE rn = 1
+), hit AS (
+  SELECT g.doc_id, t."rank" AS r
+  FROM gold g JOIN top t ON g.doc_id = t.doc_id AND g.entity_id = t.entity_id
+)
+SELECT (SELECT count(*) FROM m) AS n_docs,
+       CAST(COALESCE(sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+           / (SELECT count(*) FROM m) AS recall_at_1,
+       CAST(COALESCE(sum(CASE WHEN r <= 5 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+           / (SELECT count(*) FROM m) AS recall_at_5,
+       CAST(COALESCE(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+           / (SELECT count(*) FROM m) AS recall_at_10
+FROM hit
 """
 
 
@@ -1488,6 +1688,8 @@ QUERIES = {
     "embed_centroids": q_embed_centroids,
     "extract_mentions": q_extract_mentions,
     "entity_linking": q_entity_linking,
+    "entity_linking_blocked": q_entity_linking_blocked,
+    "recall_at_k": q_recall_at_k,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1525,6 +1727,8 @@ ORACLE_SQL = {
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "extract_mentions": SQL_EXTRACT_MENTIONS,
     "entity_linking": SQL_ENTITY_LINKING,
+    "entity_linking_blocked": SQL_ENTITY_LINKING_BLOCKED,
+    "recall_at_k": SQL_RECALL_AT_K,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "group_minmax": SQL_GROUP_MINMAX,
     "string_funcs": SQL_STRING_FUNCS,

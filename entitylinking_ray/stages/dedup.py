@@ -23,7 +23,6 @@ import ray.data
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.functions.hashing import (
     band_hashes,
-    hamming64,
     hash_tokens,
     make_minhash_perms,
     minhash_signature,
@@ -80,13 +79,32 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 
 def _pairs_from_buckets(
-    buckets: ray.data.Dataset, cfg: EngineConfig, payload_cols: list[str]
+    buckets: ray.data.Dataset,
+    cfg: EngineConfig,
+    payload_cols: list[str] | None = None,
+    in_bucket_filter=None,
 ) -> ray.data.Dataset:
-    """(bucket_key, id, payload...) -> deduped candidate pairs carrying both
-    payloads (suffix _a/_b). Same hot-bucket windowing as ER blocking, and
-    the same hash-bucketed shuffle shape (one Python call per HASH bucket,
-    vectorized run detection within — not per LSH key)."""
-    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+    """(bucket_key, id, payload...) -> deduped candidate pairs. Same
+    hot-bucket windowing as ER blocking, and the same hash-bucketed shuffle
+    shape (one Python call per HASH bucket, vectorized run detection within
+    — not per LSH key). Pair index generation reuses the ER blocking
+    kernels (``_triu`` for full blocks, shifted-range windows for hot
+    blocks) — no Python pair loops.
+
+    ``in_bucket_filter(g, ia, ib) -> bool mask`` verifies candidate pairs
+    INSIDE the bucket task, where the payload columns are already local —
+    so the pair shuffle that follows carries only ids, never payloads
+    (the round-1 100-TB hazard: pairs shipping two full payloads each).
+    ``payload_cols`` (rarely needed) are still emitted as ``<col>_a/_b``
+    when a downstream stage must see them."""
+    payload_cols = payload_cols or []
+    from entitylinking_ray.stages.blocking import (
+        _bucket_of,
+        _group_slices,
+        _n_buckets,
+        _triu,
+        _window_pairs,
+    )
 
     nb = _n_buckets()
     hashed = buckets.map_batches(
@@ -96,48 +114,66 @@ def _pairs_from_buckets(
         batch_format="pyarrow",
     )
 
+    def _empty_pairs(schema: pa.Schema) -> pa.Table:
+        cols = {
+            "pair_key": pa.array([], pa.string()),
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+        }
+        for c in payload_cols:
+            t = schema.field(c).type
+            cols[f"{c}_a"] = pa.array([], t)
+            cols[f"{c}_b"] = pa.array([], t)
+        return pa.table(cols)
+
     def pairs_in_hash_bucket(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(
             group, sort_keys=[("bucket_key", "ascending"), ("id", "ascending")]
         )
         g = group.take(order)
-        keys = np.asarray(g.column("bucket_key").to_pylist(), dtype=object)
-        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
-        idx_a: list[int] = []
-        idx_b: list[int] = []
+        keys = g.column("bucket_key").to_numpy(zero_copy_only=False)
+        ids_arr = g.column("id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        ids = ids_arr.to_numpy(zero_copy_only=False)
         cap = cfg.max_full_block_size
         w = cfg.hot_block_window
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
         for s, e in _group_slices(keys):
-            if e - s < 2:
+            n = e - s
+            if n < 2:
                 continue
-            if e - s <= cap:
-                for i in range(s, e):
-                    for j in range(i + 1, e):
-                        if ids[i] != ids[j]:
-                            idx_a.append(i)
-                            idx_b.append(j)
-            else:
-                for i in range(s, e):
-                    for j in range(i + 1, min(i + 1 + w, e)):
-                        if ids[i] != ids[j]:
-                            idx_a.append(i)
-                            idx_b.append(j)
-        ia = np.asarray(idx_a, dtype=np.int64)
-        ib = np.asarray(idx_b, dtype=np.int64)
-        a_ids = ids[ia] if len(ia) else np.array([], dtype=object)
-        b_ids = ids[ib] if len(ib) else np.array([], dtype=object)
+            iu, ju = _triu(n) if n <= cap else _window_pairs(n, w)
+            ia_parts.append(iu + s)
+            ib_parts.append(ju + s)
+        if not ia_parts:
+            return _empty_pairs(group.schema)
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        keep = ids[ia] != ids[ib]
+        if not keep.all():
+            ia, ib = ia[keep], ib[keep]
+        if in_bucket_filter is not None and len(ia):
+            keep = in_bucket_filter(g, ia, ib)
+            if not keep.all():
+                ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return _empty_pairs(group.schema)
+        ia_pa, ib_pa = pa.array(ia), pa.array(ib)
+        a_ids = ids_arr.take(ia_pa)
+        b_ids = ids_arr.take(ib_pa)
         cols = {
-            "pair_key": pa.array(
-                [f"{a}|{b}" for a, b in zip(a_ids, b_ids)], pa.string()
-            ),
-            "id_a": pa.array(a_ids, pa.string()),
-            "id_b": pa.array(b_ids, pa.string()),
+            "pair_key": pa.compute.binary_join_element_wise(a_ids, b_ids, "|"),
+            "id_a": a_ids,
+            "id_b": b_ids,
         }
         for c in payload_cols:
-            t = group.schema.field(c).type  # preserve type (e.g. uint64 simhash)
             vals = g.column(c)
-            cols[f"{c}_a"] = vals.take(pa.array(ia, pa.int64())) if len(ia) else pa.array([], t)
-            cols[f"{c}_b"] = vals.take(pa.array(ib, pa.int64())) if len(ib) else pa.array([], t)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            cols[f"{c}_a"] = vals.take(ia_pa)
+            cols[f"{c}_b"] = vals.take(ib_pa)
         return pa.table(cols)
 
     pairs = hashed.groupby("hb").map_groups(
@@ -153,8 +189,11 @@ def _pairs_from_buckets(
     def dedup_bucket(group: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(group.column("pair_key"))
         g = group.take(order)
-        keys = np.asarray(g.column("pair_key").to_pylist(), dtype=object)
-        starts = [s for s, _ in _group_slices(keys)]
+        keys = g.column("pair_key").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return g.drop_columns(["pb"])
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
         return g.take(pa.array(starts, pa.int64())).drop_columns(["pb"])
 
     return rebucketed.groupby("pb").map_groups(dedup_bucket, batch_format="pyarrow")
@@ -168,7 +207,8 @@ def _survivors(
         lambda b: pa.table({"node": b.column(id_col)}), batch_format="pyarrow"
     )
     labels = connected_components(
-        edges, nodes=nodes, a_col="id_a", b_col="id_b", config=cfg
+        edges, nodes=nodes, a_col="id_a", b_col="id_b", config=cfg,
+        nodes_cover_endpoints=True,
     )
     return labels.map_batches(
         lambda b: pa.table(
@@ -183,29 +223,68 @@ def _survivors(
 # --------------------------------------------------------------------------
 
 class _MinHashSigs:
-    """Actor-pool callable: per-doc word-3-gram MinHash + band bucket keys."""
+    """Actor-pool callable: per-doc word-3-gram MinHash + band bucket keys.
 
-    def __init__(self, cfg: EngineConfig, text_col: str, id_col: str):
+    The bucket rows carry a verification payload instead of the document
+    text (round-1 100-TB hazard: the pair shuffle carried two full texts
+    per pair, and verification re-normalized + re-shingled each text per
+    pair). ``verify="estimate"`` carries the fixed-width MinHash signature
+    (cfg.minhash_perms x 8 bytes) and verifies with the signature
+    agreement fraction — the standard MinHash-LSH dedup decision (e.g.
+    the near-dedup recipe in Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2022); ``verify="exact"`` carries the
+    sorted-distinct gram-hash set and computes exact Jaccard via a
+    C-level merge. Both shingle exactly once per document."""
+
+    def __init__(self, cfg: EngineConfig, text_col: str, id_col: str, verify: str):
         self.cfg = cfg
         self.text_col = text_col
         self.id_col = id_col
+        self.verify = verify
         self.a, self.b = make_minhash_perms(cfg.minhash_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        keys, out_ids, out_texts = [], [], []
+        bands = cfg.lsh_bands
+        keys: list[str] = []
+        out_ids: list[str] = []
+        payload_parts: list[np.ndarray] = []
         for i, t in zip(ids, texts):
             toks = normalize(t or "").split(" ")
             grams = ngram_hashes(hash_tokens(toks), 3)
             sig = minhash_signature(grams, self.a, self.b)
-            bh = band_hashes(sig, self.cfg.lsh_bands, self.cfg.lsh_rows)
+            bh = band_hashes(sig, bands, cfg.lsh_rows)
+            payload = sig if self.verify == "estimate" else np.unique(grams)
             sid = str(i)
-            for j in range(self.cfg.lsh_bands):
+            for j in range(bands):
                 keys.append(f"B{j}:{bh[j]:016x}")
                 out_ids.append(sid)
-                out_texts.append(t or "")
-        return pa.table({"bucket_key": keys, "id": out_ids, "text": out_texts})
+                payload_parts.append(payload)
+        offsets = np.zeros(len(payload_parts) + 1, dtype=np.int64)
+        if payload_parts:
+            np.cumsum([len(p) for p in payload_parts], out=offsets[1:])
+            values = pa.array(np.concatenate(payload_parts), pa.uint64())
+        else:
+            values = pa.array([], pa.uint64())
+        payload_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+        return pa.table(
+            {
+                "bucket_key": pa.array(keys, pa.string()),
+                "id": pa.array(out_ids, pa.string()),
+                "payload": payload_col,
+            }
+        )
+
+
+def _flat_fixed(g: pa.Table, col: str, width: int) -> np.ndarray:
+    """(n, width) uint64 matrix from a list column of fixed-length lists."""
+    c = g.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    flat = pa.compute.list_flatten(c).to_numpy(zero_copy_only=False)
+    return flat.reshape(len(g), width)
 
 
 def minhash_dedup(
@@ -214,30 +293,60 @@ def minhash_dedup(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
     config: EngineConfig | None = None,
+    verify: str = "estimate",
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dedup: shingle -> minhash -> band -> bucket groupby
-    -> exact word-3-gram Jaccard verification -> transitive clusters.
-    Returns (<id_col>, dup_cluster); survivors are rows where
-    id == dup_cluster."""
+    -> IN-BUCKET verification -> transitive clusters. Returns
+    (<id_col>, dup_cluster); survivors are rows where id == dup_cluster.
+
+    ``verify="estimate"`` (default, the scale path): pairs verified by the
+    MinHash signature agreement fraction >= threshold — payload is a fixed
+    512 B signature and the pair shuffle carries only ids.
+    ``verify="exact"``: exact word-3-gram Jaccard over the sorted-distinct
+    gram-hash sets (payload grows with document length; still hashes, never
+    text)."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
     cfg = config or EngineConfig()
     buckets = ds.map_batches(
         _MinHashSigs,
-        fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "id_col": id_col},
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "text_col": text_col,
+            "id_col": id_col,
+            "verify": verify,
+        },
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = _pairs_from_buckets(buckets, cfg, ["text"])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        keep = []
-        for x, y in zip(ta, tb):
-            keep.append(ngram_jaccard(x, y, 3) >= jaccard_threshold)
-        mask = pa.array(keep, pa.bool_())
-        return batch.filter(mask).select(["id_a", "id_b"])
+    if verify == "estimate":
+        perms = cfg.minhash_perms
 
-    edges = pairs.map_batches(verify, batch_format="pyarrow")
+        def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+            sigs = _flat_fixed(g, "payload", perms)
+            return (sigs[ia] == sigs[ib]).mean(axis=1) >= jaccard_threshold
+
+    else:
+
+        def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+            c = g.column("payload")
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            keep = np.empty(len(ia), dtype=bool)
+            for k in range(len(ia)):
+                # presorted distinct uint64 arrays: exact Jaccard via a
+                # C-level merge (assume_unique skips re-sorting)
+                a = c[int(ia[k])].values.to_numpy(zero_copy_only=False)
+                b = c[int(ib[k])].values.to_numpy(zero_copy_only=False)
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                keep[k] = (inter / union if union else 1.0) >= jaccard_threshold
+            return keep
+
+    edges = _pairs_from_buckets(buckets, cfg, in_bucket_filter=check).select_columns(
+        ["id_a", "id_b"]
+    )
     # ds with string ids for union-find node space
     ids_ds = ds.map_batches(
         lambda b: pa.table(
@@ -300,18 +409,17 @@ def simhash_dedup(
         )
 
     buckets = ds.map_batches(sigs, batch_format="pyarrow")
-    pairs = _pairs_from_buckets(buckets, cfg, ["simhash"])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sa = batch.column("simhash_a").to_pylist()
-        sb = batch.column("simhash_b").to_pylist()
-        keep = pa.array(
-            [hamming64(int(x), int(y)) <= max_hamming for x, y in zip(sa, sb)],
-            pa.bool_(),
-        )
-        return batch.filter(keep).select(["id_a", "id_b"])
+    def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        s = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        xor = s[ia] ^ s[ib]
+        # vectorized popcount: bit count is byte-order independent
+        dist = np.unpackbits(xor.view(np.uint8)).reshape(len(xor), 64).sum(axis=1)
+        return dist <= max_hamming
 
-    edges = pairs.map_batches(verify, batch_format="pyarrow")
+    edges = _pairs_from_buckets(buckets, cfg, in_bucket_filter=check).select_columns(
+        ["id_a", "id_b"]
+    )
     ids_ds = ds.map_batches(
         lambda b: pa.table(
             {id_col: pa.compute.cast(b.column(id_col), pa.string())}
@@ -349,7 +457,11 @@ def embedding_neardup(
             emb = batch.column(vec_col)
             if isinstance(emb, pa.ChunkedArray):
                 emb = emb.combine_chunks()
-            mat = np.asarray(emb.to_pylist(), dtype=np.float32)
+            mat = (
+                emb.values.to_numpy(zero_copy_only=False)
+                .reshape(len(batch), -1)
+                .astype(np.float32)
+            )
             if self.planes is None or self.planes.shape[1] != mat.shape[1]:
                 rng = np.random.default_rng(cfg.seed)
                 self.planes = rng.standard_normal((n_planes, mat.shape[1])).astype(
@@ -374,20 +486,22 @@ def embedding_neardup(
             )
 
     buckets = ds.map_batches(Sigs, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = _pairs_from_buckets(buckets, cfg, ["vec"])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        va = np.asarray(batch.column("vec_a").to_pylist(), dtype=np.float32)
-        vb = np.asarray(batch.column("vec_b").to_pylist(), dtype=np.float32)
-        if len(va) == 0:
-            return batch.select(["id_a", "id_b"])
+    def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        c = g.column("vec")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        flat = pa.compute.list_flatten(c).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(g), -1)
+        va, vb = mat[ia], mat[ib]
         num = np.einsum("ij,ij->i", va, vb)
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         den[den == 0] = 1.0
-        keep = pa.array((num / den) >= cosine_threshold, pa.bool_())
-        return batch.filter(keep).select(["id_a", "id_b"])
+        return (num / den) >= cosine_threshold
 
-    edges = pairs.map_batches(verify, batch_format="pyarrow")
+    edges = _pairs_from_buckets(buckets, cfg, in_bucket_filter=check).select_columns(
+        ["id_a", "id_b"]
+    )
     ids_ds = ds.map_batches(
         lambda b: pa.table(
             {id_col: pa.compute.cast(b.column(id_col), pa.string())}

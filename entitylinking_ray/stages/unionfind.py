@@ -89,6 +89,7 @@ def _driver_union_find(
     b_col: str,
     node_col: str,
     assume_unique_nodes: bool = False,
+    nodes_cover_endpoints: bool = False,
 ) -> ray.data.Dataset:
     """Small-edge-set fast path: stream the edge list to the driver and
     union in a dict with path compression; attach the larger root under the
@@ -151,29 +152,27 @@ def _driver_union_find(
         from entitylinking_ray.util import distinct_rows
 
         extra = distinct_rows(extra, [node_col])
-    # materialized once: both the Assign and the coverage pass below read
-    # it, and without this the lazy upstream pipeline would execute twice
-    extra = extra.materialize()
-    assigned = extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+    if nodes_cover_endpoints:
+        # caller guarantees nodes ⊇ edge endpoints — skip the coverage pass
+        return extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
     # Edge endpoints absent from ``nodes`` must still get label rows (the
     # connected_components contract: endpoints are always included; the
     # distributed path unions them unconditionally). Collect only the
     # covered subset of label_map keys (bounded by |label_map|, never by
-    # |nodes|), emit the difference from the driver-held map.
-    class Covered:
-        def __init__(self):
-            self.lm = ray.get(ref)
+    # |nodes|), emit the difference from the driver-held map. Materialized
+    # once so the lazy upstream pipeline doesn't execute twice.
+    extra = extra.materialize()
+    assigned = extra.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            hit = [n for n in b.column(node_col).to_pylist() if n in self.lm]
-            return pa.table({"node": pa.array(hit, pa.string())})
+    def covered_batch(b: pa.Table) -> pa.Table:
+        lm = ray.get(ref)  # plasma shared-memory read, cached per worker
+        hit = [n for n in b.column(node_col).to_pylist() if n in lm]
+        return pa.table({"node": pa.array(hit, pa.string())})
 
     covered = {
         r["node"]
-        for r in extra.map_batches(
-            Covered, batch_format="pyarrow", concurrency=(1, 4)
-        ).take_all()
+        for r in extra.map_batches(covered_batch, batch_format="pyarrow").take_all()
     }
     missing = sorted(set(label_map) - covered)
     if missing:
@@ -237,6 +236,7 @@ def connected_components(
     node_col: str = "node",
     config: EngineConfig | None = None,
     assume_unique_nodes: bool = False,
+    nodes_cover_endpoints: bool = False,
 ) -> ray.data.Dataset:
     """Return a Dataset (node, label): label = min node id in the component.
 
@@ -245,14 +245,17 @@ def connected_components(
     (<= cfg.cc_driver_max_edges) take a driver fast path; larger ones run
     the distributed star-contraction rounds (identical output). Set
     ``assume_unique_nodes`` when ``nodes`` is already distinct to skip a
-    dedup shuffle.
+    dedup shuffle, and ``nodes_cover_endpoints`` when every edge endpoint
+    is guaranteed to appear in ``nodes`` (skips the endpoint-coverage
+    check the driver path otherwise runs).
     """
     cfg = config or EngineConfig()
     edges_mat = edges.materialize()
     n_raw_edges = edges_mat.count()
     if n_raw_edges <= cfg.cc_driver_max_edges:
         return _driver_union_find(
-            edges_mat, nodes, a_col, b_col, node_col, assume_unique_nodes
+            edges_mat, nodes, a_col, b_col, node_col, assume_unique_nodes,
+            nodes_cover_endpoints,
         )
     nparts = num_join_partitions(2 * n_raw_edges)
 

@@ -57,6 +57,40 @@ def test_minhash_dedup(ray_session):
     assert out["d5"] == out["d6"] == "d5"
 
 
+def test_minhash_pair_shuffle_carries_no_payload(ray_session):
+    """100-TB guard: verification happens in-bucket, so the candidate-pair
+    shuffle carries ONLY ids — no text, no payload (VERDICT r1: pair
+    shuffle volume was O(pairs x doc size))."""
+    from entitylinking_ray.stages.dedup import _MinHashSigs, _pairs_from_buckets
+
+    cfg = EngineConfig()
+    ds = ray.data.from_arrow(_doc_table())
+    buckets = ds.map_batches(
+        _MinHashSigs,
+        fn_constructor_kwargs={
+            "cfg": cfg, "text_col": "text", "id_col": "doc_id", "verify": "estimate",
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    names = buckets.schema().names
+    assert "text" not in names
+    assert buckets.schema().types[names.index("payload")] == pa.list_(pa.uint64())
+    pairs = _pairs_from_buckets(buckets, cfg)
+    assert set(pairs.schema().names) == {"pair_key", "id_a", "id_b"}
+
+
+def test_minhash_estimate_matches_exact_on_corpus(ray_session):
+    """The scale path (signature-estimate verify) and the exact-Jaccard
+    path agree on the test corpus's clusters."""
+    ds = ray.data.from_arrow(_doc_table())
+    est = {r["doc_id"]: r["dup_cluster"]
+           for r in minhash_dedup(ds, "text", "doc_id", 0.7, verify="estimate").take_all()}
+    exact = {r["doc_id"]: r["dup_cluster"]
+             for r in minhash_dedup(ds, "text", "doc_id", 0.7, verify="exact").take_all()}
+    assert est == exact
+
+
 def test_simhash_dedup(ray_session):
     ds = ray.data.from_arrow(_doc_table())
     out = {r["doc_id"]: r["dup_cluster"] for r in simhash_dedup(ds, "text", "doc_id", 6).take_all()}
