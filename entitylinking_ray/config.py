@@ -74,3 +74,60 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+def load_config(
+    path: str | None = None,
+    env: dict | None = None,
+    env_prefix: str = "ELRAY_",
+) -> EngineConfig:
+    """Layered configuration, mirroring the reference's defaults + file +
+    environment overlay (``e2e/config.py:100-119``): dataclass defaults,
+    then a YAML/JSON file (optional), then ``ELRAY_<FIELD>`` environment
+    variables (highest precedence). Values are cast to the field's
+    declared type; unknown keys raise (typos must not silently produce a
+    default-config run whose checkpoints then collide).
+
+    The result feeds ``config_hash()``, so any overlay change invalidates
+    checkpoint lineage for exactly the affected stages.
+    """
+    import os
+    from dataclasses import fields
+
+    field_types = {
+        f.name: f.type for f in fields(EngineConfig) if f.name != "extra"
+    }
+    merged = asdict(DEFAULT_CONFIG)
+    merged.pop("extra", None)
+
+    def cast(name: str, value):
+        t = field_types[name]
+        if t in ("int", int):
+            return int(value)
+        if t in ("float", float):
+            return float(value)
+        return value
+
+    if path is not None:
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            try:
+                import yaml
+
+                overlay = yaml.safe_load(text) or {}
+            except ImportError as e:  # pragma: no cover - yaml is installed here
+                raise RuntimeError("YAML overlay requires pyyaml") from e
+        else:
+            overlay = json.loads(text)
+        for k, v in overlay.items():
+            if k not in field_types:
+                raise KeyError(f"unknown config key in {path}: {k}")
+            merged[k] = cast(k, v)
+
+    env_map = os.environ if env is None else env
+    for k, t in field_types.items():
+        ev = env_map.get(f"{env_prefix}{k.upper()}")
+        if ev is not None:
+            merged[k] = cast(k, ev)
+    return EngineConfig(**merged)

@@ -115,6 +115,21 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return acc
 
 
+def md5_token_hashes(toks: list[str]) -> np.ndarray:
+    """64-bit token hashes with a DuckDB-replayable definition: the first
+    16 hex chars of md5(token) — SQL twin
+    ``CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)``. Slower than
+    the crc/splitmix path; used where an exact SQL oracle must replay the
+    hash (dedup_simhash oracle)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in toks),
+        dtype=_U64,
+        count=len(toks),
+    )
+
+
 def simhash64(token_hashes: np.ndarray) -> int:
     """64-bit SimHash over token hashes (sign of per-bit vote sums)."""
     t = np.asarray(token_hashes, dtype=_U64)

@@ -34,6 +34,30 @@ def _ids_of(experiments: list[dict]) -> list[str]:
     return sorted(ids)
 
 
+def _btl_mm(
+    ids: list[str], wins: np.ndarray, comp: np.ndarray, max_iter: int, tol: float
+) -> list[tuple[str, float]]:
+    """Core BT MM iteration over the (wins, comparison-count) sufficient
+    statistics; shared by the experiment-list and the pair-count entry
+    points (the distributed path aggregates counts with a groupby and fits
+    here — the raw pair stream never reaches the fit)."""
+    n = len(ids)
+    p = np.ones(n)
+    for _ in range(max_iter):
+        denom = p[:, None] + p[None, :]
+        np.fill_diagonal(denom, 1.0)
+        expected = (comp / denom).sum(axis=1)
+        new_p = np.where(expected > 0, wins / np.maximum(expected, 1e-12), p)
+        new_p = np.maximum(new_p, 1e-12)
+        new_p = new_p * n / new_p.sum()
+        if np.abs(new_p - p).max() < tol:
+            p = new_p
+            break
+        p = new_p
+    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+    return [(ids[i], float(p[i])) for i in order]
+
+
 def fit_bradley_terry(
     experiments: list[dict], max_iter: int = 100, tol: float = 1e-6
 ) -> list[tuple[str, float]]:
@@ -54,20 +78,30 @@ def fit_bradley_terry(
         wins[idx[w]] += 1
         comp[idx[w], idx[l]] += 1
         comp[idx[l], idx[w]] += 1
-    p = np.ones(n)
-    for _ in range(max_iter):
-        denom = p[:, None] + p[None, :]
-        np.fill_diagonal(denom, 1.0)
-        expected = (comp / denom).sum(axis=1)
-        new_p = np.where(expected > 0, wins / np.maximum(expected, 1e-12), p)
-        new_p = np.maximum(new_p, 1e-12)
-        new_p = new_p * n / new_p.sum()
-        if np.abs(new_p - p).max() < tol:
-            p = new_p
-            break
-        p = new_p
-    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
-    return [(ids[i], float(p[i])) for i in order]
+    return _btl_mm(ids, wins, comp, max_iter, tol)
+
+
+def fit_bradley_terry_counts(
+    pair_counts: list[tuple[str, str, int]], max_iter: int = 100, tol: float = 1e-6
+) -> list[tuple[str, float]]:
+    """BT fit from aggregated (winner, loser, count) rows — identical
+    output to ``fit_bradley_terry`` over the expanded pair list. This is
+    the scale entry point: counts are produced by a distributed groupby
+    (bounded by distinct pairs), not by shipping every experiment."""
+    ids = sorted({w for w, _, _ in pair_counts} | {l for _, l, _ in pair_counts})
+    if not ids:
+        return []
+    if not pair_counts:
+        return [(d, 1.0) for d in ids]
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    wins = np.zeros(n)
+    comp = np.zeros((n, n))
+    for w, l, c in pair_counts:
+        wins[idx[w]] += c
+        comp[idx[w], idx[l]] += c
+        comp[idx[l], idx[w]] += c
+    return _btl_mm(ids, wins, comp, max_iter, tol)
 
 
 def fit_plackett_luce(
@@ -112,6 +146,71 @@ def fit_plackett_luce(
     return [(ids[i], float(p[i])) for i in order]
 
 
+def _davidson_mm(
+    ids: list[str],
+    wins: np.ndarray,
+    comp: np.ndarray,
+    tie_cnt: np.ndarray,
+    max_iter: int,
+    tol: float,
+    tie_nu: float,
+) -> list[tuple[str, float]]:
+    n = len(ids)
+    p = np.ones(n)
+    for _ in range(max_iter):
+        pi, pj = p[:, None], p[None, :]
+        denom = pi + pj + tie_nu * np.sqrt(pi * pj)
+        np.fill_diagonal(denom, 1.0)
+        expected = (comp * (pi + 0.5 * tie_nu * np.sqrt(pi * pj)) / denom).sum(axis=1) / np.maximum(p, 1e-12)
+        new_p = np.where(expected > 0, (wins + tie_cnt) / np.maximum(expected, 1e-12), p)
+        new_p = np.maximum(new_p, 1e-12)
+        new_p = new_p * n / new_p.sum()
+        if np.abs(new_p - p).max() < tol:
+            p = new_p
+            break
+        p = new_p
+    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+    return [(ids[i], float(p[i])) for i in order]
+
+
+def fit_davidson_counts(
+    pair_counts: list[tuple[str, str, int]],
+    tie_counts: list[tuple[str, str, int]] | None = None,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    tie_nu: float = 0.5,
+) -> list[tuple[str, float]]:
+    """Davidson fit from aggregated (winner, loser, count) and
+    (a, b, count) tie rows — the distributed-groupby entry point, identical
+    output to ``fit_davidson`` over the expanded experiment list."""
+    tie_counts = tie_counts or []
+    ids = sorted(
+        {w for w, _, _ in pair_counts}
+        | {l for _, l, _ in pair_counts}
+        | {a for a, _, _ in tie_counts}
+        | {b for _, b, _ in tie_counts}
+    )
+    if not ids:
+        return []
+    if not pair_counts and not tie_counts:
+        return [(d, 1.0) for d in ids]
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    wins = np.zeros(n)
+    comp = np.zeros((n, n))
+    for w, l, c in pair_counts:
+        wins[idx[w]] += c
+        comp[idx[w], idx[l]] += c
+        comp[idx[l], idx[w]] += c
+    tie_cnt = np.zeros(n)
+    for a, b, c in tie_counts:
+        comp[idx[a], idx[b]] += c
+        comp[idx[b], idx[a]] += c
+        tie_cnt[idx[a]] += 0.5 * c
+        tie_cnt[idx[b]] += 0.5 * c
+    return _davidson_mm(ids, wins, comp, tie_cnt, max_iter, tol, tie_nu)
+
+
 def fit_davidson(
     experiments: list[dict],
     max_iter: int = 100,
@@ -145,21 +244,7 @@ def fit_davidson(
         comp[idx[b], idx[a]] += 1
         tie_cnt[idx[a]] += 0.5
         tie_cnt[idx[b]] += 0.5
-    p = np.ones(n)
-    for _ in range(max_iter):
-        pi, pj = p[:, None], p[None, :]
-        denom = pi + pj + tie_nu * np.sqrt(pi * pj)
-        np.fill_diagonal(denom, 1.0)
-        expected = (comp * (pi + 0.5 * tie_nu * np.sqrt(pi * pj)) / denom).sum(axis=1) / np.maximum(p, 1e-12)
-        new_p = np.where(expected > 0, (wins + tie_cnt) / np.maximum(expected, 1e-12), p)
-        new_p = np.maximum(new_p, 1e-12)
-        new_p = new_p * n / new_p.sum()
-        if np.abs(new_p - p).max() < tol:
-            p = new_p
-            break
-        p = new_p
-    order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
-    return [(ids[i], float(p[i])) for i in order]
+    return _davidson_mm(ids, wins, comp, tie_cnt, max_iter, tol, tie_nu)
 
 
 RANKERS = {

@@ -529,9 +529,46 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dedup (rows-only check)."""
+    """SimHash near-dedup with a FULL DuckDB oracle: the md5-prefix token
+    hash is SQL-replayable, so the oracle recomputes every 64-bit SimHash,
+    finds all pairs within Hamming<=3 (the engine's 4x16-bit pigeonhole
+    banding finds exactly that set), and takes transitive closure with a
+    recursive CTE. Verifies signatures, banding completeness, Hamming
+    verification and union-find end to end."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3, hash_fn="md5")
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
+), bits AS (
+  SELECT doc_id, r.r AS b,
+         sum(CASE WHEN (h >> CAST(r.r AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, range(64) r(r) GROUP BY doc_id, r.r
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0
+                       THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+                       ELSE 0 END) AS UBIGINT) AS sim
+  FROM bits GROUP BY doc_id
+), edges AS (
+  SELECT CAST(a.doc_id AS VARCHAR) AS u, CAST(b.doc_id AS VARCHAR) AS v
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+), sym AS (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+), nodes AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS n FROM documents
+), reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u
+)
+SELECT n AS doc_id, min(m) AS dup_cluster FROM reach GROUP BY n
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1464,13 +1501,10 @@ def q_blocking_recall(sf_dir: str):
     )
 
 
-def q_btl_ranking(sf_dir: str):
-    """Bradley-Terry-Luce tournament ranking (A10 analog,
-    Sparkle/algorithms.py:17-89 semantics) over win/loss experiments
-    derived from events: in each (event_type, hour) bucket the user with
-    the highest fixed-point value-sum beats every other user present.
-    Rows-only (iterative EM fit is not SQL-expressible)."""
-    from entitylinking_ray.functions.ranking import fit_bradley_terry
+def _bucket_scores(sf_dir: str):
+    """events -> per-(event_type, hour, user) fixed-point value sums, with
+    a shuffle hash bucket of the tournament key attached."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
@@ -1492,37 +1526,137 @@ def q_btl_ranking(sf_dir: str):
         .groupby(["bkey", "user_id"])
         .aggregate(Sum("val_c", alias_name="val_c"))
     )
+    nb = _n_buckets()
+    return agg.map_batches(
+        lambda b: b.append_column("hb", _bucket_of(b.column("bkey").to_pylist(), nb)),
+        batch_format="pyarrow",
+    )
 
-    def experiments(g: pa.Table) -> pa.Table:
-        import json as _json
 
-        order = pc.sort_indices(
-            g, sort_keys=[("val_c", "descending"), ("user_id", "ascending")]
-        )
-        users = g.column("user_id").take(order).to_pylist()
-        if len(users) < 2:
-            return pa.table({"exp": pa.array([], pa.string())})
+def _bucket_runs(g: pa.Table):
+    """Sort one hash bucket by (bkey, val desc, user asc) and yield the
+    sorted table plus (start, end) run slices per tournament key."""
+    from entitylinking_ray.stages.blocking import _group_slices
+
+    order = pc.sort_indices(
+        g,
+        sort_keys=[
+            ("bkey", "ascending"),
+            ("val_c", "descending"),
+            ("user_id", "ascending"),
+        ],
+    )
+    g = g.take(order)
+    keys = g.column("bkey").to_numpy(zero_copy_only=False)
+    return g, _group_slices(keys)
+
+
+def _uid_strings(users: np.ndarray) -> np.ndarray:
+    """Vectorized zero-padded user-id strings (lexicographic == numeric)."""
+    return np.char.add("u", np.char.zfill(users.astype("U12"), 12))
+
+
+def q_btl_ranking(sf_dir: str):
+    """Bradley-Terry-Luce tournament ranking (A10 analog,
+    Sparkle/algorithms.py:17-89 semantics) over win/loss experiments
+    derived from events: in each (event_type, hour) bucket the user with
+    the highest fixed-point value-sum beats every other user present.
+    Rows-only (iterative MM fit is not SQL-expressible).
+
+    Scale shape: experiments never reach the driver — win pairs are
+    emitted per hash bucket (vectorized run detection, not per-key
+    map_groups), reduced to (winner, loser, count) by a groupby, and the
+    MM fit runs over those model-sized counts (stages/ranking_dist)."""
+    from entitylinking_ray.stages.ranking_dist import fit_btl_dataset
+
+    def win_pairs(g: pa.Table) -> pa.Table:
+        g, runs = _bucket_runs(g)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        w_parts, l_parts = [], []
+        for s, e in runs:
+            if e - s < 2:
+                continue
+            w_parts.append(np.full(e - s - 1, s, dtype=np.int64))
+            l_parts.append(np.arange(s + 1, e, dtype=np.int64))
+        if not w_parts:
+            return pa.table(
+                {"winner": pa.array([], pa.string()), "loser": pa.array([], pa.string())}
+            )
+        wi = np.concatenate(w_parts)
+        li = np.concatenate(l_parts)
         return pa.table(
             {
-                "exp": pa.array(
-                    [
-                        _json.dumps(
-                            {
-                                "winners": [f"u{users[0]:012d}"],
-                                "losers": [f"u{u:012d}" for u in users[1:]],
-                            }
-                        )
-                    ],
-                    pa.string(),
-                )
+                "winner": pa.array(_uid_strings(users[wi])),
+                "loser": pa.array(_uid_strings(users[li])),
             }
         )
 
-    exps_ds = agg.groupby("bkey").map_groups(experiments, batch_format="pyarrow")
-    import json as _json
+    pairs = _bucket_scores(sf_dir).groupby("hb").map_groups(
+        win_pairs, batch_format="pyarrow"
+    )
+    ranked = fit_btl_dataset(pairs)
+    return pd.DataFrame(
+        {
+            "user_id": [int(u[1:]) for u, _ in ranked],
+            "rank": np.arange(1, len(ranked) + 1, dtype=np.int64),
+            "strength": [round(s, 6) for _, s in ranked],
+        }
+    )
 
-    exps = [_json.loads(r["exp"]) for r in exps_ds.take_all()]
-    ranked = fit_bradley_terry(exps)
+
+def q_davidson_ranking(sf_dir: str):
+    """Davidson tournament ranking (A12 analog, Sparkle/algorithms.py
+    Davidson EM): like btl_ranking but value-TIED top users draw with each
+    other (the Davidson tie term) and each top user beats every non-top
+    user. Rows-only (iterative fit)."""
+    from entitylinking_ray.stages.ranking_dist import fit_davidson_dataset
+
+    def pair_rows(g: pa.Table) -> pa.Table:
+        g, runs = _bucket_runs(g)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        vals = g.column("val_c").to_numpy(zero_copy_only=False)
+        w_parts, l_parts, kind_parts = [], [], []
+        for s, e in runs:
+            if e - s < 2:
+                continue
+            top_val = vals[s]
+            m = s + int(np.searchsorted(-vals[s:e], -top_val, side="right"))
+            # wins: every max-val user beats every lower user
+            n_top, n_rest = m - s, e - m
+            if n_rest:
+                w_parts.append(np.repeat(np.arange(s, m), n_rest))
+                l_parts.append(np.tile(np.arange(m, e), n_top))
+                kind_parts.append(np.zeros(n_top * n_rest, dtype=np.int8))
+            # ties: all pairs among the max-val users
+            if n_top >= 2:
+                iu, ju = np.triu_indices(n_top, k=1)
+                w_parts.append(iu + s)
+                l_parts.append(ju + s)
+                kind_parts.append(np.ones(len(iu), dtype=np.int8))
+        if not w_parts:
+            return pa.table(
+                {
+                    "winner": pa.array([], pa.string()),
+                    "loser": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        wi = np.concatenate(w_parts)
+        li = np.concatenate(l_parts)
+        return pa.table(
+            {
+                "winner": pa.array(_uid_strings(users[wi])),
+                "loser": pa.array(_uid_strings(users[li])),
+                "kind": pa.array(np.concatenate(kind_parts)),
+            }
+        )
+
+    rows = _bucket_scores(sf_dir).groupby("hb").map_groups(
+        pair_rows, batch_format="pyarrow"
+    ).materialize()
+    wins = rows.filter(lambda r: r["kind"] == 0).select_columns(["winner", "loser"])
+    ties = rows.filter(lambda r: r["kind"] == 1).select_columns(["winner", "loser"])
+    ranked = fit_davidson_dataset(wins, ties)
     return pd.DataFrame(
         {
             "user_id": [int(u[1:]) for u, _ in ranked],
@@ -1597,62 +1731,26 @@ def q_media_features(sf_dir: str):
 def q_plackett_luce(sf_dir: str):
     """Plackett-Luce fit (A11 analog) over full per-bucket rankings derived
     from events (each (event_type, hour) bucket ranks its users by
-    fixed-point value-sum). Rows-only (iterative fit)."""
-    from entitylinking_ray.functions.ranking import fit_plackett_luce
+    fixed-point value-sum). Rows-only (iterative fit).
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
+    Scale shape: rankings stay a distributed Dataset; each MM iteration
+    broadcasts the strength vector and reduces per-block partial
+    denominators (stages/ranking_dist.fit_plackett_luce_dataset) — no
+    ranking is ever collected to the driver."""
+    from entitylinking_ray.stages.ranking_dist import fit_plackett_luce_dataset
+
+    def rankings(g: pa.Table) -> pa.Table:
+        g, runs = _bucket_runs(g)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        rows = [
+            _uid_strings(users[s:e]).tolist() for s, e in runs if e - s >= 2
+        ]
+        return pa.table({"order": pa.array(rows, pa.list_(pa.string()))})
+
+    ds = _bucket_scores(sf_dir).groupby("hb").map_groups(
+        rankings, batch_format="pyarrow"
     )
-
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": b["user_id"],
-                "bkey": b["event_type"]
-                + "|"
-                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
-                "val_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
-            }
-        )
-
-    agg = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["bkey", "user_id"])
-        .aggregate(Sum("val_c", alias_name="val_c"))
-    )
-
-    def ranking(g: pa.Table) -> pa.Table:
-        import json as _json
-
-        order = pc.sort_indices(
-            g, sort_keys=[("val_c", "descending"), ("user_id", "ascending")]
-        )
-        users = g.column("user_id").take(order).to_pylist()
-        if len(users) < 2:
-            return pa.table({"exp": pa.array([], pa.string())})
-        return pa.table(
-            {
-                "exp": pa.array(
-                    [
-                        _json.dumps(
-                            {
-                                "winners": [f"u{u:012d}" for u in users[:-1]],
-                                "losers": [f"u{users[-1]:012d}"],
-                            }
-                        )
-                    ],
-                    pa.string(),
-                )
-            }
-        )
-
-    import json as _json
-
-    exps = [
-        _json.loads(r["exp"])
-        for r in agg.groupby("bkey").map_groups(ranking, batch_format="pyarrow").take_all()
-    ]
-    ranked = fit_plackett_luce(exps)
+    ranked = fit_plackett_luce_dataset(ds, order_col="order")
     return pd.DataFrame(
         {
             "user_id": [int(u[1:]) for u, _ in ranked],
@@ -1692,6 +1790,7 @@ QUERIES = {
     "recall_at_k": q_recall_at_k,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
+    "davidson_ranking": q_davidson_ranking,
     "revenue_by_nation": q_revenue_by_nation,
     "group_minmax": q_group_minmax,
     "string_funcs": q_string_funcs,
@@ -1733,5 +1832,6 @@ ORACLE_SQL = {
     "group_minmax": SQL_GROUP_MINMAX,
     "string_funcs": SQL_STRING_FUNCS,
     "case_bucket": SQL_CASE_BUCKET,
-    # dedup_minhash / dedup_simhash / er_clusters: not SQL-expressible
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    # dedup_minhash / er_clusters: not SQL-expressible (LSH estimate decision)
 }

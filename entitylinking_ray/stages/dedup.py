@@ -380,12 +380,19 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     config: EngineConfig | None = None,
+    hash_fn: str = "crc",
 ) -> ray.data.Dataset:
     """SimHash near-dedup: 64-bit token SimHash; bucket by each of four
     16-bit bands (any pair within Hamming<=3 of 64 bits shares at least one
     of 4 bands by pigeonhole when distance < 4); verify exact Hamming.
-    Returns (<id_col>, dup_cluster)."""
+    Returns (<id_col>, dup_cluster). ``hash_fn="md5"`` switches the token
+    hash to the DuckDB-replayable md5-prefix definition so the whole
+    operator has an exact SQL oracle (the default crc/splitmix hash is
+    faster but not SQL-expressible)."""
+    from entitylinking_ray.functions.hashing import md5_token_hashes
+
     cfg = config or EngineConfig()
+    tok_hash = md5_token_hashes if hash_fn == "md5" else hash_tokens
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -393,7 +400,7 @@ def simhash_dedup(
         keys, out_ids, out_sims = [], [], []
         for i, t in zip(ids, texts):
             toks = normalize(t or "").split(" ")
-            sh = simhash64(hash_tokens(toks))
+            sh = simhash64(tok_hash(toks))
             sid = str(i)
             for band in range(4):
                 part = (sh >> (band * 16)) & 0xFFFF

@@ -111,3 +111,50 @@ def test_checkpoint_invalidated_by_config_change(ray_session, docs_tbl, tmp_path
     s2 = run_checkpointed(input_path, work, EngineConfig(edge_threshold=0.9))
     # different config hash: nothing may be resumed
     assert not any(v.get("resumed") for v in s2["stages"].values())
+
+
+def test_layered_config_overlay(tmp_path):
+    """load_config: defaults + YAML file + env overlay (reference
+    e2e/config.py:100-119 analog); any overlay changes config_hash, which
+    is what invalidates checkpoint lineage."""
+    import pytest
+
+    from entitylinking_ray.config import DEFAULT_CONFIG, load_config
+
+    base = load_config()
+    assert base == DEFAULT_CONFIG
+
+    yml = tmp_path / "cfg.yaml"
+    yml.write_text("edge_threshold: 0.9\nlsh_bands: 8\n")
+    file_cfg = load_config(str(yml))
+    assert file_cfg.edge_threshold == 0.9 and file_cfg.lsh_bands == 8
+    assert file_cfg.config_hash() != base.config_hash()
+
+    env_cfg = load_config(str(yml), env={"ELRAY_EDGE_THRESHOLD": "0.95"})
+    assert env_cfg.edge_threshold == 0.95  # env wins over file
+    assert env_cfg.lsh_bands == 8
+    assert env_cfg.config_hash() != file_cfg.config_hash()
+
+    with pytest.raises(KeyError):
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("edge_treshold: 0.9\n")
+        load_config(str(bad))
+
+    js = tmp_path / "cfg.json"
+    js.write_text('{"hot_block_window": 4}')
+    assert load_config(str(js)).hot_block_window == 4
+
+
+def test_config_overlay_invalidates_resume(ray_session, docs_tbl, tmp_path):
+    """A config loaded with an overlay must invalidate the manifest of a
+    run made under the defaults (the layering feeds config_hash)."""
+    from entitylinking_ray.config import load_config
+
+    input_path = str(tmp_path / "docs")
+    ray.data.from_arrow(docs_tbl).write_parquet(input_path)
+    work = str(tmp_path / "work")
+    run_checkpointed(input_path, work, CFG)
+    overlay = tmp_path / "o.yaml"
+    overlay.write_text("edge_threshold: 0.93\n")
+    s2 = run_checkpointed(input_path, work, load_config(str(overlay)))
+    assert not any(st.get("resumed") for st in s2["stages"].values())

@@ -65,3 +65,76 @@ def test_tournament_pipeline_shape():
     ranked = fit_bradley_terry(exps)
     top2 = {ranked[0][0], ranked[1][0]}
     assert top2 == {"a", "b"}
+
+
+def test_btl_counts_equals_experiments():
+    from entitylinking_ray.functions.ranking import (
+        fit_bradley_terry,
+        fit_bradley_terry_counts,
+    )
+
+    exps = [
+        {"winners": ["a"], "losers": ["b", "c"]},
+        {"winners": ["b"], "losers": ["a"]},
+        {"winners": ["a"], "losers": ["b"]},
+    ]
+    counts = [("a", "b", 2), ("a", "c", 1), ("b", "a", 1)]
+    assert fit_bradley_terry(exps) == fit_bradley_terry_counts(counts)
+
+
+def test_davidson_counts_equals_experiments():
+    from entitylinking_ray.functions.ranking import fit_davidson, fit_davidson_counts
+
+    exps = [
+        {"winners": ["a"], "losers": ["b"], "ties": [["a", "c"]]},
+        {"winners": ["c"], "losers": ["b"]},
+    ]
+    counts = [("a", "b", 1), ("c", "b", 1)]
+    ties = [("a", "c", 1)]
+    assert fit_davidson(exps) == fit_davidson_counts(counts, ties)
+
+
+def test_distributed_fits_equal_local(ray_session):
+    """fit_btl_dataset / fit_plackett_luce_dataset over Datasets reproduce
+    the in-memory fits on the same tournament data."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray.functions.ranking import (
+        fit_bradley_terry,
+        fit_plackett_luce,
+    )
+    from entitylinking_ray.stages.ranking_dist import (
+        fit_btl_dataset,
+        fit_plackett_luce_dataset,
+    )
+
+    rng = np.random.default_rng(3)
+    players = [f"p{i:02d}" for i in range(12)]
+    rankings = []
+    for _ in range(40):
+        k = int(rng.integers(2, 6))
+        rankings.append(list(rng.choice(players, size=k, replace=False)))
+
+    exps = [{"winners": r[:-1], "losers": [r[-1]]} for r in rankings]
+    want_pl = fit_plackett_luce(exps)
+    ds = ray.data.from_arrow(
+        pa.table({"order": pa.array(rankings, pa.list_(pa.string()))})
+    )
+    got_pl = fit_plackett_luce_dataset(ds)
+    assert [(u, round(s, 9)) for u, s in got_pl] == [
+        (u, round(s, 9)) for u, s in want_pl
+    ]
+
+    pair_exps = [{"winners": [r[0]], "losers": r[1:]} for r in rankings]
+    want_bt = fit_bradley_terry(pair_exps)
+    rows_w, rows_l = [], []
+    for r in rankings:
+        for loser in r[1:]:
+            rows_w.append(r[0])
+            rows_l.append(loser)
+    pairs = ray.data.from_arrow(pa.table({"winner": rows_w, "loser": rows_l}))
+    got_bt = fit_btl_dataset(pairs)
+    assert got_bt == want_bt
