@@ -44,6 +44,11 @@ class EngineConfig:
     w_jaro_winkler: float = 0.5
     w_token_set: float = 0.2
     w_cosine: float = 0.3
+    # fourth fusion term: symmetric BM25 over the pair's names (the
+    # reference's lexical ranking role, e2e/entity_database.py:326-372).
+    # Default 0 keeps the three-kernel fusion (and its oracles) unchanged;
+    # enabling it requires passing corpus stats to score_pairs.
+    w_bm25: float = 0.0
     edge_threshold: float = 0.84
 
     # --- embedding (deterministic hashing encoder; ST1/ST2 analog) ---

@@ -181,6 +181,7 @@ def link_to_catalog_blocked(
     top_k: int = 1,
     nil_threshold: float | None = None,
     config: EngineConfig | None = None,
+    score_fn=None,
 ) -> ray.data.Dataset:
     """Large-catalog entity linking: catalog and mentions are both
     Datasets; neither is broadcast. Blocks mentions and catalog entries on
@@ -196,6 +197,10 @@ def link_to_catalog_blocked(
     one NIL row (entity_id = -1, score = -1.0, rank = 1); with
     ``nil_threshold``, rows whose score < threshold keep their score but
     report entity_id = -1 (the reference's 'none' outcome).
+
+    ``score_fn(mention_names, title_names) -> float array`` overrides the
+    default Jaro-Winkler candidate scorer (e.g. a broadcast-stats BM25 —
+    the reference's lexical ranking, ``e2e/entity_database.py:326-372``).
 
     Scale shape: two narrow shuffles (block key, then mention id), payload
     = the strings being scored; catalog size is unbounded (never collected
@@ -301,7 +306,8 @@ def link_to_catalog_blocked(
             )
         mi = np.concatenate(mi_parts)
         ei = np.concatenate(ei_parts)
-        scores = jaro_winkler_batch(names[mi], names[ei])
+        fn = score_fn if score_fn is not None else jaro_winkler_batch
+        scores = np.asarray(fn(names[mi], names[ei]), dtype=np.float64)
         return pa.table(
             {
                 "doc_id": g.column("doc_id").take(pa.array(mi)),

@@ -1157,6 +1157,92 @@ FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
 """
 
 
+def q_bm25_rank(sf_dir: str):
+    """BM25 lexical candidate ranking (the RANKING role of the reference's
+    BM25 retrieval, ``e2e/entity_database.py:326-372``): blocked candidates
+    re-ranked by BM25 of the mention's tokens against the catalog titles,
+    with distributed corpus statistics (df/avgdl) broadcast once. Output
+    is rank-only (top-3 by bm25 desc, entity_id asc): ranks are stable
+    under last-ulp float divergence between engines, scores are not."""
+    from entitylinking_ray.functions.lexical import bm25_batch, corpus_stats
+    from entitylinking_ray.pipelines.entity_linking import link_to_catalog_blocked
+
+    catalog = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    df, n_docs, avgdl = corpus_stats(
+        catalog.map_batches(
+            lambda b: pa.table({"title": b["p_name"]}), batch_format="pyarrow"
+        ),
+        "title",
+    )
+    stats_ref = ray.put((df, n_docs, avgdl))
+
+    def bm25_fn(qnames, dnames):
+        d, n, a = ray.get(stats_ref)
+        return bm25_batch(list(qnames), list(dnames), d, n, a)
+
+    out = link_to_catalog_blocked(
+        _part_mentions(sf_dir),
+        catalog,
+        mention_col="mention",
+        id_col="doc_id",
+        entity_id_col="p_partkey",
+        title_col="p_name",
+        top_k=3,
+        score_fn=bm25_fn,
+    )
+    # rank-only, candidates only (drop the no-candidate NIL rows)
+    return out.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b["entity_id"], pa.scalar(-1, pa.int64()))
+        ).select(["doc_id", "entity_id", "rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BM25_RANK = f"""
+{_BLOCKED_CTES},
+c0 AS (
+  SELECT DISTINCT doc_id, entity_id FROM cand
+), dtok AS (
+  SELECT entity_id, unnest(string_split(title, ' ')) AS tok FROM c
+), dlen AS (
+  SELECT entity_id, count(*) AS dl FROM dtok GROUP BY entity_id
+), tf AS (
+  SELECT entity_id, tok, count(*) AS tf FROM dtok GROUP BY entity_id, tok
+), dft AS (
+  SELECT tok, count(DISTINCT entity_id) AS df FROM dtok GROUP BY tok
+), nd AS (
+  SELECT count(*) AS n FROM c
+), ad AS (
+  SELECT avg(dl) AS a FROM dlen
+), qt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(mention, ' ')) AS tok FROM m)
+), sc AS (
+  SELECT c0.doc_id, c0.entity_id,
+         sum( ln((nd.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / ad.a)) ) AS s
+  FROM c0
+  JOIN qt ON qt.doc_id = c0.doc_id
+  JOIN tf ON tf.entity_id = c0.entity_id AND tf.tok = qt.tok
+  JOIN dft ON dft.tok = qt.tok
+  JOIN dlen ON dlen.entity_id = c0.entity_id
+  CROSS JOIN nd CROSS JOIN ad
+  GROUP BY c0.doc_id, c0.entity_id
+)
+SELECT doc_id, entity_id, "rank" FROM (
+  SELECT c0.doc_id, c0.entity_id,
+         row_number() OVER (
+             PARTITION BY c0.doc_id
+             ORDER BY COALESCE(sc.s, 0) DESC, c0.entity_id) AS "rank"
+  FROM c0 LEFT JOIN sc ON sc.doc_id = c0.doc_id AND sc.entity_id = c0.entity_id
+) WHERE "rank" <= 3
+"""
+
+
 def q_recall_at_k(sf_dir: str):
     """Rank-based recall@1/5/10 (A7 — ``e2e/evaluation.py:490-535``): is
     the GOLD entity (exhaustive catalog argmax, the broadcast path) inside
@@ -1787,6 +1873,7 @@ QUERIES = {
     "extract_mentions": q_extract_mentions,
     "entity_linking": q_entity_linking,
     "entity_linking_blocked": q_entity_linking_blocked,
+    "bm25_rank": q_bm25_rank,
     "recall_at_k": q_recall_at_k,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
@@ -1827,6 +1914,7 @@ ORACLE_SQL = {
     "extract_mentions": SQL_EXTRACT_MENTIONS,
     "entity_linking": SQL_ENTITY_LINKING,
     "entity_linking_blocked": SQL_ENTITY_LINKING_BLOCKED,
+    "bm25_rank": SQL_BM25_RANK,
     "recall_at_k": SQL_RECALL_AT_K,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "group_minmax": SQL_GROUP_MINMAX,

@@ -50,11 +50,19 @@ class PairScorer:
 
     _MAX_CACHE = 2_000_000
 
-    def __init__(self, config: EngineConfig | None = None):
+    def __init__(self, config: EngineConfig | None = None, bm25_stats_ref=None):
         self.cfg = config or EngineConfig()
         self.encoder = HashingEncoder(
             dim=self.cfg.embed_dim, seed=self.cfg.seed, shingle_k=self.cfg.shingle_k
         )
+        # optional 4th fusion term: (df, n_docs, avgdl) broadcast once via
+        # ray.put; symmetric BM25 of the pair's names joins the fusion
+        # with weight cfg.w_bm25 (default 0 — see config.py)
+        self.bm25_stats = None
+        if bm25_stats_ref is not None and self.cfg.w_bm25 > 0:
+            import ray as _ray
+
+            self.bm25_stats = _ray.get(bm25_stats_ref)
         self._score_cache: dict[tuple[str, str], tuple[float, float, float]] = {}
         self._lev_cache: dict[tuple[str, str], float] = {}
         self._emb_cache: dict[str, np.ndarray] = {}
@@ -198,6 +206,15 @@ class PairScorer:
             + self.cfg.w_token_set * ts
             + self.cfg.w_cosine * cos
         )
+        if self.bm25_stats is not None:
+            from entitylinking_ray.functions.lexical import bm25_batch
+
+            df, n_docs, avgdl = self.bm25_stats
+            bm = 0.5 * (
+                bm25_batch(name_a, name_b, df, n_docs, avgdl)
+                + bm25_batch(name_b, name_a, df, n_docs, avgdl)
+            )
+            fused = fused + self.cfg.w_bm25 * bm
         return {"jw": jw, "token_set": ts, "cosine": cos, "score": fused}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -226,9 +243,13 @@ class PairScorer:
 
 
 def score_pairs(
-    pairs: ray.data.Dataset, config: EngineConfig | None = None
+    pairs: ray.data.Dataset,
+    config: EngineConfig | None = None,
+    bm25_stats_ref=None,
 ) -> ray.data.Dataset:
-    """Candidate pairs → accepted edges (score >= edge_threshold)."""
+    """Candidate pairs → accepted edges (score >= edge_threshold).
+    ``bm25_stats_ref``: optional ``ray.put((df, n_docs, avgdl))`` corpus
+    statistics enabling the cfg.w_bm25 fusion term."""
     cfg = config or EngineConfig()
     try:
         import ray
@@ -245,7 +266,7 @@ def score_pairs(
     pairs = pairs.repartition(pool * 3)
     return pairs.map_batches(
         PairScorer,
-        fn_constructor_kwargs={"config": cfg},
+        fn_constructor_kwargs={"config": cfg, "bm25_stats_ref": bm25_stats_ref},
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
         # fixed pool: autoscaling ramps too slowly for a burst stage and

@@ -117,3 +117,47 @@ def test_lang_id_deterministic():
 def test_fingerprint_whitespace_invariant():
     assert fingerprint("Hello  World") == fingerprint("hello world")
     assert fingerprint("a") != fingerprint("b")
+
+
+def test_bm25_kernel():
+    """BM25 kernel sanity: matching terms score higher, rare terms beat
+    common terms, non-overlapping pairs score 0."""
+    from entitylinking_ray.functions.lexical import bm25_score
+
+    df = {"red": 10, "widget": 2, "blue": 10, "bolt": 5}
+    n, avg = 20, 2.0
+    s_exact = bm25_score(["red", "widget"], ["red", "widget"], df, n, avg)
+    s_half = bm25_score(["red", "widget"], ["red", "bolt"], df, n, avg)
+    s_none = bm25_score(["red", "widget"], ["blue", "bolt"], df, n, avg)
+    assert s_exact > s_half > s_none == 0.0
+    # rare term contributes more than a common one at equal tf
+    s_rare = bm25_score(["widget"], ["widget"], df, n, avg)
+    s_common = bm25_score(["red"], ["red"], df, n, avg)
+    assert s_rare > s_common
+
+
+def test_bm25_corpus_stats_and_fusion(ray_session):
+    """Distributed corpus_stats matches a local count, and the w_bm25
+    fusion term changes pair scores only when enabled."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from entitylinking_ray.config import EngineConfig
+    from entitylinking_ray.functions.lexical import corpus_stats
+    from entitylinking_ray.stages.scoring import PairScorer
+
+    titles = ["red widget", "blue widget", "red bolt", "odd gear gear"]
+    ds = ray.data.from_arrow(pa.table({"title": titles}))
+    df, n_docs, avgdl = corpus_stats(ds, "title")
+    assert n_docs == 4
+    assert df["widget"] == 2 and df["red"] == 2 and df["gear"] == 1
+    assert avgdl == (2 + 2 + 2 + 3) / 4
+
+    ref = ray.put((df, n_docs, avgdl))
+    base = PairScorer(EngineConfig())
+    fused = PairScorer(EngineConfig(w_bm25=0.1), bm25_stats_ref=ref)
+    s0 = base.score(["red widget"], ["red bolt"])["score"][0]
+    s1 = fused.score(["red widget"], ["red bolt"])["score"][0]
+    assert s1 > s0  # shared 'red' term adds positive BM25 mass
