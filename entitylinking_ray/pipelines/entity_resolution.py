@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from entitylinking_ray.config import EngineConfig
-from entitylinking_ray.sources.documents import read_documents
+from entitylinking_ray.sources.documents import read_documents, read_documents_files
 from entitylinking_ray.stages.blocking import block_keys, candidate_pairs
 from entitylinking_ray.stages.scoring import score_pairs
 from entitylinking_ray.stages.signatures import extract_signatures
@@ -105,13 +105,88 @@ def run_checkpointed(
                                    "wall_sec": round(time.time() - t0, 3)}
         return ray.data.read_parquet(man.stage_dir(name)), fingerprint
 
+    def run_map_stage_partitioned(
+        name: str, fingerprint: str, input_files: list[str], build, n_partitions: int
+    ) -> ray.data.Dataset:
+        """Partition-granular resumable map-only stage (north-rule /
+        SURVEY §7.2): ``input_files`` are chunked into ``n_partitions``;
+        each chunk maps through ``build(files)`` and commits its own
+        ``part=<i>`` directory atomically. A killed run recomputes only
+        missing/stale partitions; completed partitions are read back."""
+        import os
+
+        chunks = [input_files[i::n_partitions] for i in range(n_partitions)]
+        chunks = [c for c in chunks if c]
+        done = resumed = 0
+        t_all = time.time()
+        for i, files in enumerate(chunks):
+            part_fp = f"{fingerprint}|part{i}:{'|'.join(sorted(files))}"
+            if resume and man.is_partition_complete(name, i, part_fp):
+                resumed += 1
+                continue
+            t0 = time.time()
+            ds = build(files)
+            tmp = man.open_partition_tmp(name, i)
+            ds.write_parquet(tmp)
+            if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+                import pyarrow.parquet as pq
+
+                schema = ds.schema()
+                pq.write_table(
+                    pa.Table.from_pylist(
+                        [], schema=pa.schema(list(zip(schema.names, schema.types)))
+                    ),
+                    os.path.join(tmp, "empty.parquet"),
+                )
+            rows = ray.data.read_parquet(tmp).count()
+            man.commit_partition(name, i, part_fp, rows, time.time() - t0)
+            done += 1
+        man.mark_stage_complete(
+            name, fingerprint, man.partition_rows_total(name), time.time() - t_all
+        )
+        summary["stages"][name] = {
+            "resumed": done == 0,
+            "partitions_run": done,
+            "partitions_resumed": resumed,
+        }
+        import glob
+
+        part_files = [
+            f
+            for i in range(len(chunks))
+            for f in sorted(
+                glob.glob(os.path.join(man.partition_dir(name, i), "*.parquet"))
+            )
+        ]
+        return ray.data.read_parquet(part_files)
+
     ch = cfg.config_hash()
     base_fp = f"{input_path}|{ch}"
 
-    sigs, fp_s = run_stage(
-        "signatures", f"sig|{base_fp}",
-        lambda: extract_signatures(read_documents(input_path), cfg),
+    import glob as _glob
+    import os as _os
+
+    input_files = (
+        sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+        if _os.path.isdir(input_path)
+        else []
     )
+    sig_fp = f"sig|{base_fp}"
+    if input_files:
+        n_parts = max(1, min(16, len(input_files)))
+        sigs = run_map_stage_partitioned(
+            "signatures",
+            sig_fp,
+            input_files,
+            lambda files: extract_signatures(read_documents_files(files), cfg),
+            n_parts,
+        )
+        fp_s = sig_fp
+    else:
+        sigs, fp_s = run_stage(
+            "signatures", sig_fp,
+            lambda: extract_signatures(read_documents(input_path), cfg),
+        )
     pairs, fp_p = run_stage(
         "pairs", f"pairs|{fp_s}", lambda: candidate_pairs(block_keys(sigs, cfg), cfg)
     )

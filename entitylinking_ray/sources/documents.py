@@ -45,6 +45,12 @@ def write_documents(ds: ray.data.Dataset, path: str) -> None:
     ds.write_parquet(path)
 
 
+def read_documents_files(paths: list[str]) -> ray.data.Dataset:
+    """Read an explicit list of canonical-document parquet files (the
+    partition-granular resume path reads per-partition file chunks)."""
+    return ray.data.read_parquet(paths)
+
+
 def synthesize_documents(n_docs: int, seed: int = 42) -> ray.data.Dataset:
     """Distributed deterministic synthetic corpus (see synth.py): every doc
     is a pure function of (seed, index), generated inside map_batches.

@@ -102,6 +102,75 @@ class Manifest:
         }
         self._save()
 
+    # --- partition-level lineage (map-only stages) ---
+    #
+    # A map-only stage is resumable at BLOCK-PARTITION granularity: each
+    # input-file chunk writes its own ``stage=<name>/part=<i>`` directory
+    # atomically and records (fingerprint, rows) per partition. A killed
+    # run re-runs only the partitions whose directory or fingerprint is
+    # missing. Wide (shuffle) stages stay stage-granular — a half-finished
+    # all-to-all exchange is not resumable anyway (module docstring).
+
+    def partition_dir(self, name: str, part: int) -> str:
+        return os.path.join(self.stage_dir(name), f"part={part}")
+
+    def is_partition_complete(self, name: str, part: int, fingerprint: str) -> bool:
+        rec = (
+            self._data["stages"]
+            .get(name, {})
+            .get("partitions_done", {})
+            .get(str(part))
+        )
+        return (
+            rec is not None
+            and rec["fingerprint"] == fingerprint
+            and os.path.isdir(self.partition_dir(name, part))
+        )
+
+    def open_partition_tmp(self, name: str, part: int) -> str:
+        tmp = self.partition_dir(name, part) + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        return tmp
+
+    def commit_partition(
+        self, name: str, part: int, fingerprint: str, rows: int, wall_sec: float
+    ) -> None:
+        final = self.partition_dir(name, part)
+        tmp = final + ".tmp"
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        stage = self._data["stages"].setdefault(name, {"fingerprint": None})
+        stage.setdefault("partitions_done", {})[str(part)] = {
+            "fingerprint": fingerprint,
+            "rows": rows,
+            "wall_sec": round(wall_sec, 3),
+            "committed_at": time.time(),
+        }
+        self._save()
+
+    def partition_rows_total(self, name: str) -> int:
+        parts = self._data["stages"].get(name, {}).get("partitions_done", {})
+        return sum(int(r["rows"]) for r in parts.values())
+
+    def mark_stage_complete(
+        self, name: str, fingerprint: str, rows: int, wall_sec: float
+    ) -> None:
+        """Record the stage-level fingerprint once every partition is
+        committed (keeps ``is_complete`` working for downstream stages)."""
+        stage = self._data["stages"].setdefault(name, {})
+        stage.update(
+            {
+                "fingerprint": fingerprint,
+                "rows": rows,
+                "wall_sec": round(wall_sec, 3),
+                "committed_at": time.time(),
+            }
+        )
+        self._save()
+
     def counters(self) -> dict:
         return {k: dict(v) for k, v in self._data["stages"].items()}
 

@@ -77,7 +77,12 @@ def test_checkpoint_resume(ray_session, docs_tbl, tmp_path):
 
     with open(os.path.join(work, "manifest.json")) as f:
         man = json.load(f)
-    for st in ("signatures", "pairs", "edges", "clusters"):
+    # signatures is a map-only stage: BLOCK-PARTITION-granular lineage
+    sig = man["stages"]["signatures"]
+    assert sig["partitions_done"], "signatures must record per-partition lineage"
+    assert sum(p["rows"] for p in sig["partitions_done"].values()) == sig["rows"]
+    # shuffle stages stay stage-granular but still record per-file rows
+    for st in ("pairs", "edges", "clusters"):
         rec = man["stages"][st]
         assert rec["partitions"], st
         assert sum(p["rows"] for p in rec["partitions"]) == rec["rows"], st
@@ -158,3 +163,46 @@ def test_config_overlay_invalidates_resume(ray_session, docs_tbl, tmp_path):
     overlay.write_text("edge_threshold: 0.93\n")
     s2 = run_checkpointed(input_path, work, load_config(str(overlay)))
     assert not any(st.get("resumed") for st in s2["stages"].values())
+
+
+def test_partition_granular_resume(ray_session, docs_tbl, tmp_path):
+    """Kill-resume at PARTITION granularity: destroy two signature
+    partitions (simulating a mid-stage kill), re-run, and assert only the
+    destroyed partitions were recomputed and the final clusters are
+    byte-identical."""
+    import json
+
+    input_path = str(tmp_path / "input")
+    # many input files so the stage has multiple partitions
+    ray.data.from_arrow(docs_tbl).repartition(8).write_parquet(input_path)
+    work = str(tmp_path / "work")
+    s1 = run_checkpointed(input_path, work, CFG)
+    first = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in ray.data.read_parquet(s1["clusters_path"]).take_all()
+    )
+    with open(os.path.join(work, "manifest.json")) as f:
+        man = json.load(f)
+    n_parts = len(man["stages"]["signatures"]["partitions_done"])
+    assert n_parts >= 2
+
+    # kill scenario: two committed partitions vanish, one tmp left behind
+    import shutil
+
+    shutil.rmtree(os.path.join(work, "stage=signatures", "part=0"))
+    shutil.rmtree(os.path.join(work, "stage=signatures", "part=1"))
+    os.makedirs(os.path.join(work, "stage=signatures", "part=0.tmp"), exist_ok=True)
+    # downstream stages' fingerprints still match, but their inputs must be
+    # rebuilt correctly — drop them so the resumed run recomputes from the
+    # repaired signatures
+    for st in ("pairs", "edges", "clusters"):
+        shutil.rmtree(os.path.join(work, f"stage={st}"))
+
+    s2 = run_checkpointed(input_path, work, CFG)
+    assert s2["stages"]["signatures"]["partitions_run"] == 2
+    assert s2["stages"]["signatures"]["partitions_resumed"] == n_parts - 2
+    second = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in ray.data.read_parquet(s2["clusters_path"]).take_all()
+    )
+    assert first == second
