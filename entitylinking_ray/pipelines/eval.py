@@ -122,6 +122,105 @@ def pairwise_f1_from_assignments(
     return _f1(tp, pred - tp, act - tp)
 
 
+def per_type_metrics(
+    predictions: ray.data.Dataset,
+    gold: ray.data.Dataset,
+    id_col: str = "doc_id",
+    pred_col: str = "entity_id",
+    gold_col: str = "gold_entity_id",
+    type_col: str = "type",
+) -> ray.data.Dataset:
+    """Per-entity-type linking metrics (A6 — ``e2e/evaluation.py:30-73``
+    computes accuracy/P/R/F1 per mention type): join predictions to gold
+    on the mention id, then one aggregate row per type with n, correct,
+    accuracy, and NIL-aware precision/recall/F1 (a NIL prediction is
+    'no link emitted'; NIL gold is 'no link expected' — mirroring the
+    reference's normalized/unnormalized accuracy split).
+
+    Returns a Dataset (type, n, correct, accuracy, precision, recall, f1).
+    """
+    import numpy as np
+
+    from entitylinking_ray.pipelines.entity_linking import NIL_ENTITY_ID
+
+    nparts = _num_partitions()
+    j = sanitize_blocks(predictions.select_columns([id_col, pred_col])).join(
+        sanitize_blocks(gold.select_columns([id_col, gold_col, type_col])),
+        join_type="inner",
+        num_partitions=nparts,
+        on=(id_col,),
+    )
+
+    def tally(b: pa.Table) -> pa.Table:
+        pred = b.column(pred_col).to_pylist()
+        g = b.column(gold_col).to_pylist()
+        ts = b.column(type_col).to_pylist()
+        out: dict[str, list[int]] = {}
+        for p, gg, t in zip(pred, g, ts):
+            row = out.setdefault(t, [0, 0, 0, 0, 0])  # n, correct, tp, pred+, gold+
+            row[0] += 1
+            p_nil = p is None or p == NIL_ENTITY_ID
+            g_nil = gg is None or gg == NIL_ENTITY_ID
+            if (p == gg) or (p_nil and g_nil):
+                row[1] += 1
+            if not p_nil:
+                row[3] += 1
+                if p == gg:
+                    row[2] += 1
+            if not g_nil:
+                row[4] += 1
+        types = sorted(out)
+        cols = np.array([out[t] for t in types], dtype=np.int64).reshape(-1, 5)
+        return pa.table(
+            {
+                "type": pa.array(types, pa.string()),
+                "n": pa.array(cols[:, 0]),
+                "correct": pa.array(cols[:, 1]),
+                "tp": pa.array(cols[:, 2]),
+                "pred_pos": pa.array(cols[:, 3]),
+                "gold_pos": pa.array(cols[:, 4]),
+            }
+        )
+
+    agg = (
+        j.map_batches(tally, batch_format="pyarrow", batch_size=65536)
+        .groupby("type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("correct", alias_name="correct"),
+            Sum("tp", alias_name="tp"),
+            Sum("pred_pos", alias_name="pred_pos"),
+            Sum("gold_pos", alias_name="gold_pos"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        correct = b.column("correct").to_numpy(zero_copy_only=False).astype(np.float64)
+        tp = b.column("tp").to_numpy(zero_copy_only=False).astype(np.float64)
+        pp = b.column("pred_pos").to_numpy(zero_copy_only=False).astype(np.float64)
+        gp = b.column("gold_pos").to_numpy(zero_copy_only=False).astype(np.float64)
+        prec = np.divide(tp, pp, out=np.zeros_like(tp), where=pp > 0)
+        rec = np.divide(tp, gp, out=np.zeros_like(tp), where=gp > 0)
+        denom = prec + rec
+        f1 = np.divide(2 * prec * rec, denom, out=np.zeros_like(tp), where=denom > 0)
+        return pa.table(
+            {
+                "type": b.column("type"),
+                "n": b.column("n"),
+                "correct": b.column("correct"),
+                "accuracy": pa.array(correct / n, pa.float64()),
+                "precision": pa.array(prec, pa.float64()),
+                "recall": pa.array(rec, pa.float64()),
+                "f1": pa.array(f1, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def recall_at_k(
     pairs: ray.data.Dataset, labeled_pairs: ray.data.Dataset
 ) -> dict:

@@ -1157,6 +1157,100 @@ FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
 """
 
 
+def q_per_type_accuracy(sf_dir: str):
+    """Per-type linking metrics (A6 — ``e2e/evaluation.py:30-73``): the
+    blocked linker's predictions vs the exhaustive gold, grouped by
+    mention type (here: the mention's first token). Exercises
+    pipelines/eval.per_type_metrics end to end with a full SQL twin."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.entity_linking import link_to_catalog
+    from entitylinking_ray.pipelines.eval import per_type_metrics
+    from entitylinking_ray.util import num_join_partitions, sanitize_blocks
+
+    mentions = _part_mentions(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    gold_ids = link_to_catalog(
+        mentions,
+        part["p_partkey"].to_pylist(),
+        part["p_name"].to_pylist(),
+        mention_col="mention",
+        id_col="doc_id",
+        top_k=1,
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "gold_entity_id": b["entity_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    typed = _part_mentions(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "type": pa.array(
+                    [m.split(" ")[0] for m in b["mention"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    gold = sanitize_blocks(gold_ids).join(
+        sanitize_blocks(typed),
+        join_type="inner",
+        num_partitions=num_join_partitions(),
+        on=("doc_id",),
+    )
+    preds = q_entity_linking_blocked(sf_dir).select_columns(["doc_id", "entity_id"])
+    return per_type_metrics(preds, gold)
+
+
+SQL_PER_TYPE_ACCURACY = f"""
+{_BLOCKED_CTES},
+top AS (
+  SELECT doc_id,
+         CASE WHEN score < 0.9 THEN -1 ELSE entity_id END AS pred
+  FROM (
+    SELECT doc_id, entity_id, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, entity_id) AS rn
+    FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, -1 AS pred FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
+), gold AS (
+  SELECT doc_id, entity_id AS gold FROM (
+    SELECT m.doc_id, c.entity_id,
+           row_number() OVER (
+               PARTITION BY m.doc_id
+               ORDER BY jaro_winkler_similarity(m.mention, c.title) DESC, c.entity_id
+           ) AS rn
+    FROM m, c) WHERE rn = 1
+), typ AS (
+  SELECT doc_id, string_split(mention, ' ')[1] AS type FROM m
+), joined AS (
+  SELECT t.type, top.pred, g.gold
+  FROM top JOIN gold g USING (doc_id) JOIN typ t USING (doc_id)
+), counts AS (
+  SELECT type,
+         count(*) AS n,
+         sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS correct,
+         sum(CASE WHEN pred <> -1 AND pred = gold THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN pred <> -1 THEN 1 ELSE 0 END) AS pred_pos
+  FROM joined GROUP BY type
+)
+SELECT type, n, correct,
+       CAST(correct AS DOUBLE) / n AS accuracy,
+       CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END AS precision,
+       CAST(tp AS DOUBLE) / n AS recall,
+       CASE WHEN (CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END
+                  + CAST(tp AS DOUBLE) / n) > 0
+            THEN 2 * (CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END)
+                   * (CAST(tp AS DOUBLE) / n)
+                 / ((CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END)
+                    + (CAST(tp AS DOUBLE) / n))
+            ELSE 0.0 END AS f1
+FROM counts
+"""
+
+
 def q_bm25_rank(sf_dir: str):
     """BM25 lexical candidate ranking (the RANKING role of the reference's
     BM25 retrieval, ``e2e/entity_database.py:326-372``): blocked candidates
@@ -1874,6 +1968,7 @@ QUERIES = {
     "entity_linking": q_entity_linking,
     "entity_linking_blocked": q_entity_linking_blocked,
     "bm25_rank": q_bm25_rank,
+    "per_type_accuracy": q_per_type_accuracy,
     "recall_at_k": q_recall_at_k,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
@@ -1915,6 +2010,7 @@ ORACLE_SQL = {
     "entity_linking": SQL_ENTITY_LINKING,
     "entity_linking_blocked": SQL_ENTITY_LINKING_BLOCKED,
     "bm25_rank": SQL_BM25_RANK,
+    "per_type_accuracy": SQL_PER_TYPE_ACCURACY,
     "recall_at_k": SQL_RECALL_AT_K,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "group_minmax": SQL_GROUP_MINMAX,

@@ -51,6 +51,104 @@ def read_documents_files(paths: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(paths)
 
 
+# --- labeled-data loaders (S3-S6: Zeshel / sample-data / eval-setup shape) ---
+#
+# The reference's loaders stream JSONL rows shaped
+# ``{"text": ..., "labels": [{"entity_id", "name", "type", "span"}, ...]}``
+# (``e2e/entity_database.py:74-115`` sample-data loader; the Zeshel and
+# eval-setup loaders differ only in field names). The engine reads the
+# same shape with ``ray.data.read_json`` and lifts it into mention /
+# catalog tables, skipping NIL labels exactly like the reference
+# (``e2e/entity_database.py:96-97``).
+
+
+def read_labeled_jsonl(path: str) -> ray.data.Dataset:
+    """Read a labeled JSONL corpus (one JSON object per line)."""
+    return ray.data.read_json(path)
+
+
+def mentions_from_labels(
+    ds: ray.data.Dataset, id_col: str = "doc_id", drop_nil: bool = True
+) -> ray.data.Dataset:
+    """Labeled rows -> one mention row per label:
+    (doc_id, mention, gold_entity_id, type). ``drop_nil`` skips
+    '<NIL>'/'<NO_MAPPING>' labels (D6). Rows without a ``doc_id`` field
+    get a deterministic id (md5 of the text)."""
+    import hashlib
+
+    from entitylinking_ray.pipelines.entity_linking import NIL_LABELS
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out_id, out_m, out_e, out_t = [], [], [], []
+        for r in rows:
+            did = str(
+                r.get(id_col)
+                or hashlib.md5((r.get("text") or "").encode("utf-8")).hexdigest()[:16]
+            )
+            for lab in r.get("labels") or []:
+                eid = str(lab.get("entity_id") or "")
+                if drop_nil and eid in NIL_LABELS:
+                    continue
+                out_id.append(did)
+                out_m.append(str(lab.get("name") or ""))
+                out_e.append(eid)
+                out_t.append(str(lab.get("type") or "UNKNOWN"))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.string()),
+                "mention": pa.array(out_m, pa.string()),
+                "gold_entity_id": pa.array(out_e, pa.string()),
+                "type": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def catalog_from_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Labeled rows -> distinct (entity_id, title) catalog, NIL-filtered —
+    the reference's sample-data database build
+    (``e2e/entity_database.py:85-110``): first-seen name wins per entity
+    (deterministic: smallest name)."""
+    from entitylinking_ray.util import distinct_rows
+
+    mentions = mentions_from_labels(ds, drop_nil=True)
+    pairs = mentions.map_batches(
+        lambda b: pa.table(
+            {"entity_id": b.column("gold_entity_id"), "title": b.column("mention")}
+        ),
+        batch_format="pyarrow",
+    )
+    distinct = distinct_rows(pairs, ["entity_id", "title"])
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(["entity_id", "title"])
+        return pa.Table.from_pandas(
+            df.drop_duplicates("entity_id"), preserve_index=False
+        )
+
+    # distinct pairs are few per entity; a final small groupby picks one
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+    nb = _n_buckets()
+    hashed = distinct.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b.column("entity_id").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        hashed.groupby("hb")
+        .map_groups(keep_min, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["entity_id", "title"]), batch_format="pyarrow"
+        )
+    )
+
+
 def synthesize_documents(n_docs: int, seed: int = 42) -> ray.data.Dataset:
     """Distributed deterministic synthetic corpus (see synth.py): every doc
     is a pure function of (seed, index), generated inside map_batches.

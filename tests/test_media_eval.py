@@ -94,3 +94,34 @@ def test_recall_at_k(ray_session):
     m = recall_at_k(pairs, labeled)
     assert m["positives"] == 3 and m["blocked"] == 2
     assert m["blocking_recall"] == pytest.approx(2 / 3)
+
+
+def test_per_type_metrics(ray_session):
+    """A6 parity shape: per-type accuracy/P/R/F1 with NIL-aware counting
+    (a NIL prediction is 'no link emitted')."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray.pipelines.eval import per_type_metrics
+
+    preds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "entity_id": [10, 99, -1, 40]})
+    )
+    gold = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "gold_entity_id": [10, 20, 30, 40],
+                "type": ["ORG", "ORG", "LOC", "LOC"],
+            }
+        )
+    )
+    out = {r["type"]: r for r in per_type_metrics(preds, gold).take_all()}
+    org, loc = out["ORG"], out["LOC"]
+    assert org["n"] == 2 and org["correct"] == 1 and org["accuracy"] == 0.5
+    assert org["precision"] == 0.5 and org["recall"] == 0.5
+    # LOC: one NIL prediction (not counted as predicted positive), one hit
+    assert loc["n"] == 2 and loc["correct"] == 1
+    assert loc["precision"] == 1.0 and loc["recall"] == 0.5
+    assert 0 < loc["f1"] < 1

@@ -74,3 +74,48 @@ def test_synthesize_matches_local_generator(ray_session):
     dist = sorted(synthesize_documents(80, seed=42).take_all(), key=lambda r: r["doc_id"])
     local = sorted(documents_table(80, seed=42).to_pylist(), key=lambda r: r["doc_id"])
     assert dist == local
+
+
+def test_labeled_jsonl_loaders(ray_session, tmp_path):
+    """S3-S6 loader shape: JSONL rows with labels -> mention table (NIL
+    labels dropped, D6) and a distinct NIL-filtered catalog."""
+    import json
+
+    import ray.data
+
+    from entitylinking_ray.sources.documents import (
+        catalog_from_labels,
+        mentions_from_labels,
+        read_labeled_jsonl,
+    )
+
+    rows = [
+        {"doc_id": "d1", "text": "alpha text", "labels": [
+            {"entity_id": "e1", "name": "Alpha Corp", "type": "ORG"},
+            {"entity_id": "<NIL>", "name": "mystery", "type": "UNK"},
+        ]},
+        {"doc_id": "d2", "text": "beta text", "labels": [
+            {"entity_id": "e1", "name": "Alpha Corporation", "type": "ORG"},
+            {"entity_id": "e2", "name": "Beta City", "type": "LOC"},
+            {"entity_id": "<NO_MAPPING>", "name": "nowhere", "type": "LOC"},
+        ]},
+        {"text": "no id text", "labels": [
+            {"entity_id": "e3", "name": "Gamma", "type": "PER"},
+        ]},
+    ]
+    path = tmp_path / "labeled.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = read_labeled_jsonl(str(path))
+    mentions = mentions_from_labels(ds).take_all()
+    # NIL labels skipped; the id-less row still gets a deterministic id
+    assert len(mentions) == 4
+    assert {m["gold_entity_id"] for m in mentions} == {"e1", "e2", "e3"}
+    no_id = [m for m in mentions if m["gold_entity_id"] == "e3"]
+    assert len(no_id[0]["doc_id"]) == 16  # md5-prefix fallback id
+
+    catalog = {r["entity_id"]: r["title"] for r in catalog_from_labels(ds).take_all()}
+    assert set(catalog) == {"e1", "e2", "e3"}
+    assert catalog["e1"] == "Alpha Corp"  # smallest name wins, deterministic
