@@ -52,6 +52,11 @@ BLOCK_KEYS_SCHEMA = pa.schema(
 )
 
 # --- candidate pairs (stage 2 output) ---
+# Candidate-pair rows are the highest-volume shuffle in the engine, so the
+# schema is minimal: the token-sorted canonical forms are recomputed by the
+# scorer per DISTINCT name pair (cheap, memoized), and the generating block
+# key is not carried — duplicate rows of one pair are identical, so the
+# keep-first dedup is deterministic without it.
 PAIRS_SCHEMA = pa.schema(
     [
         ("pair_key", pa.string()),  # f"{a}|{b}" with a < b
@@ -59,9 +64,6 @@ PAIRS_SCHEMA = pa.schema(
         ("doc_id_b", pa.string()),
         ("name_a", pa.string()),  # normalized names (raw token order)
         ("name_b", pa.string()),
-        ("name_a_sorted", pa.string()),  # token-sorted canonical forms
-        ("name_b_sorted", pa.string()),
-        ("block_key", pa.string()),  # the key this pair was generated under
     ]
 )
 

@@ -222,20 +222,16 @@ def _pairs_in_bucket(
             "doc_id_b": b_ids,
             "name_a": g.column("name_norm").take(ia_pa),
             "name_b": g.column("name_norm").take(ib_pa),
-            "name_a_sorted": g.column("name_sorted").take(ia_pa),
-            "name_b_sorted": g.column("name_sorted").take(ib_pa),
-            "block_key": g.column("block_key").take(pa.array(kx)),
         },
         schema=PAIRS_SCHEMA,
     )
 
 
 def _dedup_bucket(group: pa.Table) -> pa.Table:
-    """Keep one row per pair_key (smallest block_key wins) — vectorized:
-    sort by (pair_key, block_key), take run starts."""
-    order = pc.sort_indices(
-        group, sort_keys=[("pair_key", "ascending"), ("block_key", "ascending")]
-    )
+    """Keep one row per pair_key — vectorized: sort by pair_key, take run
+    starts (rows of one pair are identical, so keep-first is
+    deterministic)."""
+    order = pc.sort_indices(group, sort_keys=[("pair_key", "ascending")])
     g = group.take(order)
     keys = g.column("pair_key").to_numpy(zero_copy_only=False)
     if len(keys) == 0:
@@ -267,7 +263,7 @@ def candidate_pairs(
     # each actor saw fewer repeats).
     def add_pbucket(b: pa.Table) -> pa.Table:
         name_pair = pc.binary_join_element_wise(
-            b.column("name_a_sorted"), b.column("name_b_sorted"), "|"
+            b.column("name_a"), b.column("name_b"), "|"
         )
         return b.append_column("pbucket", _bucket_of(name_pair.to_pylist(), nb))
 

@@ -66,6 +66,7 @@ class PairScorer:
         self._score_cache: dict[tuple[str, str], tuple[float, float, float]] = {}
         self._lev_cache: dict[tuple[str, str], float] = {}
         self._emb_cache: dict[str, np.ndarray] = {}
+        self._sorted_cache: dict[str, str] = {}
 
     def _encode_cached(self, names: list) -> np.ndarray:
         """Encode with a per-actor name -> vector memo (each doc's name
@@ -81,6 +82,15 @@ class PairScorer:
             for s, v in zip(distinct, vecs):
                 cache[s] = v
         return np.stack([cache[s] for s in names]) if names else np.zeros((0, self.cfg.embed_dim), np.float32)
+
+    def _sorted_form(self, s: str) -> str:
+        v = self._sorted_cache.get(s)
+        if v is None:
+            v = " ".join(sorted(set(s.split())))
+            if len(self._sorted_cache) > self._MAX_CACHE:
+                self._sorted_cache.clear()
+            self._sorted_cache[s] = v
+        return v
 
     def _tok_sim(self, ta: str, tb: str) -> float:
         from entitylinking_ray.functions.strsim import levenshtein_similarity
@@ -120,14 +130,12 @@ class PairScorer:
         name_b_sorted: list | None = None,
     ) -> dict[str, np.ndarray]:
         """Score pairs of normalized names (optionally with precomputed
-        token-sorted forms). ``jw`` is the max of Jaro-Winkler over the raw
-        and the token-sorted forms: raw JW catches char typos, sorted JW
-        catches token swaps — a doc with both still reaches its cluster
-        transitively through less-perturbed siblings."""
-        if name_a_sorted is None:
-            name_a_sorted = [" ".join(sorted(set(s.split()))) for s in name_a]
-        if name_b_sorted is None:
-            name_b_sorted = [" ".join(sorted(set(s.split()))) for s in name_b]
+        token-sorted forms — when absent they are computed ONLY for the
+        distinct cache misses, so the pair shuffle need not carry them).
+        ``jw`` is the max of Jaro-Winkler over the raw and the token-sorted
+        forms: raw JW catches char typos, sorted JW catches token swaps — a
+        doc with both still reaches its cluster transitively through
+        less-perturbed siblings."""
         n = len(name_a)
         jw = np.empty(n, dtype=np.float64)
         ts = np.empty(n, dtype=np.float64)
@@ -148,8 +156,15 @@ class PairScorer:
             rep = list(miss.values())
             ua = [name_a[i] for i in rep]
             ub = [name_b[i] for i in rep]
-            uas = [name_a_sorted[i] for i in rep]
-            ubs = [name_b_sorted[i] for i in rep]
+            if name_a_sorted is None:
+                # sorted-token memo shared with the token-sim cache's key
+                # space: one sort per distinct name, not per pair
+                srt = self._sorted_form
+                uas = [srt(s) for s in ua]
+                ubs = [srt(s) for s in ub]
+            else:
+                uas = [name_a_sorted[i] for i in rep]
+                ubs = [name_b_sorted[i] for i in rep]
             # cosine first (vectorized + cached): it EXACTLY bounds the
             # fused score — even with jw = ts = 1, a pair needs
             # cos >= (tau - w_jw - w_ts)/w_cos to pass the edge threshold,
@@ -220,12 +235,7 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         name_a = batch.column("name_a").to_pylist()
         name_b = batch.column("name_b").to_pylist()
-        s = self.score(
-            name_a,
-            name_b,
-            batch.column("name_a_sorted").to_pylist(),
-            batch.column("name_b_sorted").to_pylist(),
-        )
+        s = self.score(name_a, name_b)
         keep = s["score"] >= self.cfg.edge_threshold
         idx = np.nonzero(keep)[0]
         out = pa.table(

@@ -79,7 +79,12 @@ class CorpusSpec:
         total = self.hot_size
         g = 1
         while total < n_docs:
-            if n_docs > 50_000:
+            if n_docs > 250_000:
+                # very large corpora: bigger groups keep the group count
+                # under the 40k distinct-name cap (and add pair density,
+                # which is what a scaling corpus should stress)
+                s = 4 + _mix(seed, g, 7) % 15
+            elif n_docs > 50_000:
                 s = 2 + _mix(seed, g, 7) % 9
             else:
                 s = 1 + _mix(seed, g, 7) % 5
