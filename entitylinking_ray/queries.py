@@ -778,9 +778,11 @@ def q_unionfind_events(sf_dir: str):
 
     from entitylinking_ray.util import distinct_rows
 
+    # materialized once: both the pair generation and the node derivation
+    # read it (slim two-column table)
     buckets = distinct_rows(
         ds.map_batches(bucket, batch_format="pandas"), ["user_id", "bkey"]
-    )
+    ).materialize()
 
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
 
@@ -813,15 +815,22 @@ def q_unionfind_events(sf_dir: str):
             )
         ia = np.concatenate(ia_parts)
         ib = np.concatenate(ib_parts)
+        # in-bucket pair dedup (same user pair from different bkeys of this
+        # bucket): numpy unique — the driver union-find is idempotent for
+        # the cross-bucket duplicates that remain, so no global distinct
+        # shuffle over the edge list is needed
+        uv = np.unique(np.stack([users[ia], users[ib]], axis=1), axis=0)
         # vectorized zero-padded ids (lexicographic min == numeric min)
-        ua = np.char.add("u", np.char.zfill(users[ia].astype("U12"), 12))
-        ub = np.char.add("u", np.char.zfill(users[ib].astype("U12"), 12))
+        ua = np.char.add("u", np.char.zfill(uv[:, 0].astype("U12"), 12))
+        ub = np.char.add("u", np.char.zfill(uv[:, 1].astype("U12"), 12))
         return pa.table({"id_a": pa.array(ua), "id_b": pa.array(ub)})
 
-    edges = distinct_rows(
-        hashed.groupby("hb").map_groups(pairs, batch_format="pyarrow"),
-        ["id_a", "id_b"],
-    )
+    # edges: in-bucket deduped above; remaining cross-bucket duplicates are
+    # harmless to union-find, so no distinct shuffle
+    edges = hashed.groupby("hb").map_groups(pairs, batch_format="pyarrow")
+
+    # nodes: distinct users derived from the already-distinct bucket rows
+    # (no second pass over the raw events table)
     def node_batch(b: pa.Table) -> pa.Table:
         uniq = np.unique(b["user_id"].to_numpy(zero_copy_only=False))
         return pa.table(
@@ -829,7 +838,7 @@ def q_unionfind_events(sf_dir: str):
         )
 
     nodes = distinct_rows(
-        ds.map_batches(node_batch, batch_format="pyarrow"), ["node"]
+        buckets.map_batches(node_batch, batch_format="pyarrow"), ["node"]
     )
     labels = connected_components(
         edges, nodes=nodes, a_col="id_a", b_col="id_b", nodes_cover_endpoints=True
@@ -1908,6 +1917,46 @@ def q_media_features(sf_dir: str):
     return decode_images(docs, dim=16)
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL image decode end to end (no external library): the corpus's
+    media refs are materialized as deterministic PPM payloads (standing in
+    for an object-store fetch), then decoded by the pure-numpy PNM codec
+    inside the actor-pool stage — raster parse, area resize, histogram
+    features. Rows-only (binary decode is not SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.stages.media import decode_image_payloads, extract_media_refs
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = synthesize_documents(max(200, 2 * n_rows), seed=42)
+    refs = extract_media_refs(docs, kind="image")
+
+    def materialize_ppm(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        out = []
+        for r in b.column("media_ref").to_pylist():
+            seed_b = _h.sha256(r.encode()).digest()
+            w, h = 8 + seed_b[0] % 9, 8 + seed_b[1] % 9
+            n = w * h * 3
+            raster = bytearray()
+            x = seed_b
+            while len(raster) < n:
+                x = _h.sha256(x).digest()
+                raster += x
+            out.append(f"P6\n{w} {h}\n255\n".encode() + bytes(raster[:n]))
+        return pa.table(
+            {
+                "media_ref": b.column("media_ref"),
+                "data": pa.array(out, pa.binary()),
+            }
+        )
+
+    payloads = refs.map_batches(materialize_ppm, batch_format="pyarrow")
+    return decode_image_payloads(payloads, dim=16)
+
+
 def q_plackett_luce(sf_dir: str):
     """Plackett-Luce fit (A11 analog) over full per-bucket rankings derived
     from events (each (event_type, hour) bucket ranks its users by
@@ -1979,6 +2028,7 @@ QUERIES = {
     "case_bucket": q_case_bucket,
     "knn_lsh": q_knn_lsh,
     "media_features": q_media_features,
+    "media_decode_real": q_media_decode_real,
     "plackett_luce": q_plackett_luce,
     "er_f1": q_er_f1,
     "er_clusters": q_er_clusters,

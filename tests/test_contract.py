@@ -99,3 +99,44 @@ def test_query_matches_oracle(ray_session, contract, con, name):
             assert (av.astype(np.float64) == bv.astype(np.float64)).all(), c
         else:
             assert (av.astype(str) == bv.astype(str)).all(), c
+
+
+def test_registry_surface(ray_session):
+    """SURVEY §2.10 extension surface: typed registries with a register
+    decorator and factory-style lookups (reference system_factory analog)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray import registry as reg
+
+    # lookups resolve; unknown names raise with the available list
+    assert callable(reg.kernel("jaro_winkler"))
+    assert callable(reg.ranker("btl"))
+    assert callable(reg.key_family("linking_default"))
+    with pytest.raises(ValueError, match="Available"):
+        reg.searcher("nope")
+
+    # register hook (the reference's register_system analog)
+    @reg.register(reg.KERNELS, "always_one")
+    def always_one(a, b):
+        return np.ones(len(a))
+
+    assert reg.kernel("always_one")(["x"], ["y"])[0] == 1.0
+    del reg.KERNELS["always_one"]
+
+    # searcher strategies run end to end on a toy catalog
+    catalog = ray.data.from_arrow(
+        pa.table({"entity_id": [1, 2], "title": ["red widget", "blue bolt"]})
+    )
+    mentions = ray.data.from_arrow(
+        pa.table({"doc_id": [7], "mention": ["red widgett"]})
+    )
+    for name in ("blocked", "bm25"):
+        out = reg.searcher(name)(mentions, catalog, top_k=1).take_all()
+        assert out and out[0]["entity_id"] == 1, name
+    out = reg.searcher("exhaustive")(
+        mentions, [1, 2], ["red widget", "blue bolt"], top_k=1
+    ).take_all()
+    assert out[0]["entity_id"] == 1
