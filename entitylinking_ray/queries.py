@@ -698,6 +698,69 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 1-hour windows advancing every 30 min —
+    each event lands in exactly two windows. The overlap is materialized
+    by the map stage (2 rows per event, vectorized), then the same
+    partial-aggregating groupby as the tumbling window; no per-window
+    state."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def win(b: pd.DataFrame) -> pd.DataFrame:
+        half = b["ts"].dt.floor("30min")
+        val_c = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        one = pd.DataFrame(
+            {"ws": half, "event_type": b["event_type"], "val_c": val_c}
+        )
+        two = pd.DataFrame(
+            {
+                "ws": half - pd.Timedelta(minutes=30),
+                "event_type": b["event_type"],
+                "val_c": val_c,
+            }
+        )
+        out = pd.concat([one, two], ignore_index=True)
+        out["window_start"] = out["ws"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out[["window_start", "event_type", "val_c"]]
+
+    agg = (
+        ds.map_batches(win, batch_format="pandas")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("val_c", alias_name="val_c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b["window_start"],
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "sum_value": pc.divide(pc.cast(b["val_c"], pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINDOW_HOPPING = f"""
+WITH halves AS (
+  SELECT date_trunc('hour', ts)
+         + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                ELSE INTERVAL 0 MINUTE END AS h30,
+         event_type, value
+  FROM events
+), exploded AS (
+  SELECT h30 AS ws, event_type, value FROM halves
+  UNION ALL
+  SELECT h30 - INTERVAL 30 MINUTE AS ws, event_type, value FROM halves
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n, {_sql_fixed_sum("value", 100, "sum_value")}
+FROM exploded GROUP BY 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user. Shuffle shape:
     groupby a HASH BUCKET of user_id (one Python call per bucket), then a
@@ -2009,6 +2072,7 @@ QUERIES = {
     "jaro_winkler": q_jaro_winkler,
     "levenshtein": q_levenshtein,
     "window_hourly": q_window_hourly,
+    "window_hopping": q_window_hopping,
     "sessionize": q_sessionize,
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
@@ -2052,6 +2116,7 @@ ORACLE_SQL = {
     "jaro_winkler": SQL_JARO_WINKLER,
     "levenshtein": SQL_LEVENSHTEIN,
     "window_hourly": SQL_WINDOW_HOURLY,
+    "window_hopping": SQL_WINDOW_HOPPING,
     "sessionize": SQL_SESSIONIZE,
     "unionfind_events": SQL_UNIONFIND_EVENTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
