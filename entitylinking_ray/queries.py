@@ -1918,6 +1918,40 @@ def q_davidson_ranking(sf_dir: str):
     )
 
 
+def q_incremental_er(sf_dir: str):
+    """Streaming growth (J13 generalized): resolve the first 80% of the
+    canonical corpus, then fold the remaining 20% into the existing
+    assignment — only pairs touching a NEW doc are scored. Output is the
+    final (doc_id, cluster_id) assignment; pytest proves it exactly equals
+    the from-scratch run (CC(A∪B) = CC(CC(A)∪B)). Rows-only."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.pipelines.entity_resolution import resolve_entities
+    from entitylinking_ray.pipelines.incremental import incremental_resolve
+    from entitylinking_ray.sources.documents import synthesize_documents
+
+    from entitylinking_ray.stages.signatures import extract_signatures
+
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = max(200, 2 * n_rows)
+    n_old = (n_docs * 4) // 5
+    cfg = EngineConfig()
+    all_docs = synthesize_documents(n_docs, seed=42)
+    cut = f"d{n_old:09d}"
+    # materialized: the splits are consumed several times downstream
+    # (signatures, nodes, blocking) — left lazy they would re-synthesize
+    # per consumer
+    old_docs = all_docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], cut)), batch_format="pyarrow"
+    ).materialize()
+    new_docs = all_docs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["doc_id"], cut)), batch_format="pyarrow"
+    ).materialize()
+    old_sigs = extract_signatures(old_docs, cfg).materialize()
+    old_clusters = resolve_entities(old_docs, cfg)
+    return incremental_resolve(new_docs, old_sigs, old_clusters, cfg)
+
+
 def q_er_f1(sf_dir: str):
     """Flagship quality evidence in-contract: run the full ER pipeline on
     the canonical corpus and score it against planted ground truth with
@@ -2095,6 +2129,7 @@ QUERIES = {
     "media_decode_real": q_media_decode_real,
     "plackett_luce": q_plackett_luce,
     "er_f1": q_er_f1,
+    "incremental_er": q_incremental_er,
     "er_clusters": q_er_clusters,
 }
 
