@@ -29,7 +29,6 @@ from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.functions.hashing import (
     char_shingle_hashes,
     make_minhash_perms,
-    minhash_signature,
 )
 from entitylinking_ray.functions.textnorm import normalize
 from entitylinking_ray.schema import SIGNATURES_SCHEMA
@@ -37,11 +36,43 @@ from entitylinking_ray.schema import SIGNATURES_SCHEMA
 
 class SignatureExtractor:
     """Actor-pool callable: MinHash permutation params built once per actor
-    (ST1/ST2 analog: state in ``__init__``, work in ``__call__``)."""
+    (ST1/ST2 analog: state in ``__init__``, work in ``__call__``).
+
+    MinHash is computed per DISTINCT name, not per document: a per-actor
+    memo (duplicate-heavy corpora repeat names across batches) plus a
+    batched signature kernel — shingle hashes of all missing names are
+    concatenated and reduced with one ``np.minimum.reduceat`` per chunk,
+    so the hot math is C-level over the whole batch instead of one small
+    matrix per row."""
+
+    _MAX_MEMO = 2_000_000
 
     def __init__(self, config: EngineConfig | None = None):
         self.cfg = config or EngineConfig()
         self.a, self.b = make_minhash_perms(self.cfg.minhash_perms, self.cfg.seed)
+        self._memo: dict[str, tuple[np.ndarray, str]] = {}
+
+    def _sig_many(self, names: list[str]) -> None:
+        """Batched MinHash + sorted-form for names missing from the memo."""
+        k = self.cfg.shingle_k
+        parts = [char_shingle_hashes(nn, k) for nn in names]
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+        flat = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        if len(self._memo) > self._MAX_MEMO:
+            self._memo.clear()
+        # chunk so the (perms x shingles) value matrix stays ~tens of MB
+        chunk = 4096
+        for s in range(0, len(names), chunk):
+            e = min(s + chunk, len(names))
+            seg = flat[bounds[s] : bounds[e]]
+            offs = (bounds[s:e] - bounds[s]).astype(np.int64)
+            vals = self.a[:, None] * seg[None, :] + self.b[:, None]
+            mins = np.minimum.reduceat(vals, offs, axis=1)  # (perms, e-s)
+            for j in range(s, e):
+                nn = names[j]
+                ns = " ".join(sorted(set(nn.split(" ")))) if nn else ""
+                self._memo[nn] = (mins[:, j - s].copy(), ns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -55,8 +86,6 @@ class SignatureExtractor:
 
         n = len(batch)
         name_norm = np.empty(n, dtype=object)
-        name_sorted = np.empty(n, dtype=object)
-        sigs = np.empty((n, self.cfg.minhash_perms), dtype=np.uint64)
         media_refs: list[list[str]] = []
         n_spans = np.empty(n, dtype=np.int32)
 
@@ -68,15 +97,20 @@ class SignatureExtractor:
             mention_txt = [t[j] for j in range(len(k)) if k[j] == "mention"]
             if not mention_txt:
                 mention_txt = [t[j] for j in range(len(k)) if k[j] == "text"]
-            nn = normalize(" ".join(mention_txt))
-            name_norm[i] = nn
-            name_sorted[i] = " ".join(sorted(set(nn.split(" ")))) if nn else ""
-            sigs[i] = minhash_signature(
-                char_shingle_hashes(nn, self.cfg.shingle_k), self.a, self.b
-            )
+            name_norm[i] = normalize(" ".join(mention_txt))
             m = media[lo:hi]
-            refs = sorted({r for r in m if r})
-            media_refs.append(refs)
+            media_refs.append(sorted({r for r in m if r}))
+
+        memo = self._memo
+        missing = list({nn for nn in name_norm if nn not in memo})
+        if missing:
+            self._sig_many(missing)
+        name_sorted = np.empty(n, dtype=object)
+        sigs = np.empty((n, self.cfg.minhash_perms), dtype=np.uint64)
+        for i in range(n):
+            sig, ns = memo[name_norm[i]]
+            sigs[i] = sig
+            name_sorted[i] = ns
 
         return pa.table(
             {
