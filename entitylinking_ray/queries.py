@@ -698,6 +698,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate count-distinct of users per event_type
+    (functions/sketch): per-batch partial sketches, register-merge
+    groupby — shuffle volume O(groups x 4 KiB) regardless of cardinality.
+    Rows-only (deterministic, but the engine's 64-bit hash is not
+    SQL-reproducible); accuracy vs exact distinct is pinned in pytest."""
+    from entitylinking_ray.functions.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct(ds, "user_id", ["event_type"])
+
+
 def q_window_hopping(sf_dir: str):
     """Hopping (sliding) windows: 1-hour windows advancing every 30 min —
     each event lands in exactly two windows. The overlap is materialized
@@ -2001,6 +2015,26 @@ def q_knn_lsh(sf_dir: str):
     return lsh_knn(corpus, queries, k=10, n_planes=8, vec_col="embedding", id_col="vec_id")
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (FAISS IVF-Flat structure): k-means cells,
+    per-query n_probe cells scored — the third similarity-search path next
+    to brute force (oracled) and LSH. Rows-only (approximate by design;
+    recall vs brute force pinned in pytest)."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.stages.knn import ivf_knn
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
+    queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
+    )
+    return ivf_knn(corpus, queries, k=10, n_lists=16, n_probe=4, id_col="vec_id")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: distinct media refs of the interleaved corpus
     -> image-decode actor pool (deterministic stub features). Rows-only."""
@@ -2107,6 +2141,7 @@ QUERIES = {
     "levenshtein": q_levenshtein,
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
+    "approx_distinct": q_approx_distinct,
     "sessionize": q_sessionize,
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
@@ -2125,6 +2160,7 @@ QUERIES = {
     "string_funcs": q_string_funcs,
     "case_bucket": q_case_bucket,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "media_features": q_media_features,
     "media_decode_real": q_media_decode_real,
     "plackett_luce": q_plackett_luce,

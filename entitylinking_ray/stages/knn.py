@@ -223,3 +223,108 @@ def lsh_knn(
         Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def ivf_knn(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k — the classic coarse-quantizer
+    ANN (FAISS IVF-Flat structure): k-means centroids partition the corpus
+    into n_lists cells; each query scores ONLY rows in its n_probe nearest
+    cells. Same output schema as brute_force_knn; recall < 1 by
+    construction. The trainer is a driver-side mini k-means over a bounded
+    sample (deterministic seed); centroids + the probe map are broadcast
+    once, and the corpus pass is a single vectorized map_batches — at
+    scale, cost per query drops by ~n_lists / n_probe vs the full scan."""
+    queries = np.asarray(queries, dtype=np.float64)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+
+    # --- train the coarse quantizer on a bounded sample (driver-side) ---
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(train))
+    cent = train[rng.choice(len(train), size=n_lists, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(1e-300, np.linalg.norm(v))
+
+    # --- probe map: list id -> query ids probing it ---
+    order = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in order[qi]:
+            list_to_q.setdefault(int(c), []).append(qi)
+    cent_ref = ray.put(cent)
+    l2q_ref = ray.put(list_to_q)
+    qref = ray.put(qn)
+
+    class Partial:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.l2q = ray.get(l2q_ref)
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            mat = _batch_matrix(batch, vec_col)
+            norm = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            lists = np.argmax(norm @ self.cent.T, axis=1)
+            qidx, vidx, svals = [], [], []
+            for c, qs in self.l2q.items():
+                rows = np.nonzero(lists == c)[0]
+                if len(rows) == 0:
+                    continue
+                sub = norm[rows]
+                scores = self.q[qs] @ sub.T  # (len(qs), len(rows))
+                for a, qi in enumerate(qs):
+                    qidx.append(np.full(len(rows), qi, dtype=np.int64))
+                    vidx.append(rows)
+                    svals.append(scores[a])
+            if not qidx:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            take = pa.array(np.concatenate(vidx), pa.int64())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(qidx), pa.int64()),
+                    "vec_id": ids.take(take),
+                    "score": pa.array(np.concatenate(svals), pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")

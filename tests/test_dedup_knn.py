@@ -151,3 +151,94 @@ def test_lsh_knn_recall(ray_session):
         len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.3  # approximate by design
+
+
+def test_hll_sketch_kernel():
+    """HLL: accuracy within ~3 sigma at p=12, merge == union."""
+    from entitylinking_ray.functions.sketch import (
+        hll_add,
+        hll_count,
+        hll_merge,
+        hll_new,
+    )
+
+    a = hll_add(hll_new(), [f"x{i}" for i in range(20000)])
+    est = hll_count(a)
+    assert abs(est - 20000) / 20000 < 0.05
+    b = hll_add(hll_new(), [f"x{i}" for i in range(15000, 35000)])
+    u = hll_count(hll_merge(a, b))
+    assert abs(u - 35000) / 35000 < 0.05
+    # small range: linear counting is near-exact
+    small = hll_add(hll_new(), [f"s{i}" for i in range(50)])
+    assert abs(hll_count(small) - 50) < 3
+
+
+def test_approx_distinct_dataset(ray_session):
+    """Dataset operator: grouped + global approximate distinct within 5%
+    of exact, shuffle payload = fixed-size registers."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray.functions.sketch import approx_distinct
+
+    rows_k, rows_v = [], []
+    for g in ("a", "b"):
+        n = 3000 if g == "a" else 700
+        for i in range(n):
+            for _dup in range(2):  # duplicates must not inflate
+                rows_k.append(g)
+                rows_v.append(f"{g}:{i}")
+    ds = ray.data.from_arrow(pa.table({"g": rows_k, "v": rows_v})).repartition(8)
+    out = {r["g"]: r["approx_distinct"] for r in approx_distinct(ds, "v", ["g"]).take_all()}
+    assert abs(out["a"] - 3000) / 3000 < 0.05
+    assert abs(out["b"] - 700) / 700 < 0.05
+    glob = approx_distinct(ds, "v").take_all()
+    assert len(glob) == 1
+    assert abs(glob[0]["approx_distinct"] - 3700) / 3700 < 0.05
+
+
+def test_approx_distinct_vs_exact_on_testdata(ray_session):
+    """The contract query's estimate stays within the HLL error bound of
+    the exact per-type distinct-user counts on real testdata."""
+    import duckdb
+
+    from entitylinking_ray.queries import q_approx_distinct
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: r["approx_distinct"] for r in q_approx_distinct(sf).take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        assert abs(approx[t] - e) / max(e, 1) < 0.06, (t, approx[t], e)
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF coarse-quantizer ANN: decent recall vs brute force on random
+    vectors, and much less than the full scan scored (probed subset)."""
+    from entitylinking_ray.stages.knn import ivf_knn
+
+    ds, mat = _embedding_ds(n=500, d=24, seed=2)
+    queries = mat[:5].astype(np.float64)
+    exact = brute_force_knn(ds, queries, k=10, id_col="vec_id").take_all()
+    approx = ivf_knn(ds, queries, k=10, n_lists=16, n_probe=4, id_col="vec_id").take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4  # approximate by design
+    # determinism: same call, same result
+    again = ivf_knn(ds, queries, k=10, n_lists=16, n_probe=4, id_col="vec_id").take_all()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(key, approx)) == sorted(map(key, again))
