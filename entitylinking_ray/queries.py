@@ -341,18 +341,43 @@ def q_group_topk(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
     )
-    sub = ds.map_batches(
-        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["l_orderkey"], 31), 0)),
-        batch_format="pyarrow",
-    )
+    from entitylinking_ray.stages.blocking import _n_buckets
 
-    def top3(g: pa.Table) -> pa.Table:
+    nb = _n_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["l_orderkey"], 31), 0))
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        hb = ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % nb
+        return b.append_column("hb", pa.array(hb.astype(np.int32)))
+
+    def top3_bucket(g: pa.Table) -> pa.Table:
+        # one Python call per HASH bucket, not per order key: sort by
+        # (key, price desc, line), rank within runs vectorized, keep <= 3
         order = pc.sort_indices(
-            g, sort_keys=[("l_extendedprice", "descending"), ("l_linenumber", "ascending")]
+            g,
+            sort_keys=[
+                ("l_orderkey", "ascending"),
+                ("l_extendedprice", "descending"),
+                ("l_linenumber", "ascending"),
+            ],
         )
-        return g.take(order[:3])
+        g = g.take(order)
+        if len(g) == 0:
+            return g.drop_columns(["hb"])
+        keys = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(keys), dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(keys)), 0))
+        rank = np.arange(len(keys)) - run_start
+        return g.filter(pa.array(rank < 3)).drop_columns(["hb"])
 
-    return sub.groupby("l_orderkey").map_groups(top3, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(top3_bucket, batch_format="pyarrow")
+    )
 
 
 SQL_GROUP_TOPK = """

@@ -58,20 +58,50 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Exact dedup by normalized-content hash: one representative row
     (minimum id) per distinct content, with the duplicate count.
-    Returns (fingerprint, <id_col>, n_dups)."""
-    with_fp = add_fingerprint(ds, text_col).select_columns(["fingerprint", id_col])
+    Returns (fingerprint, <id_col>, n_dups).
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
+    Shuffle shape: fingerprints are near-unique, so ``groupby(fingerprint)
+    .map_groups`` would dispatch Python once per DOCUMENT — instead the
+    shuffle key is a hash bucket of the fingerprint and each bucket does
+    one vectorized run-detection pass (the blocking.py pattern)."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+    nb = _n_buckets()
+    with_fp = add_fingerprint(ds, text_col).select_columns(["fingerprint", id_col])
+    hashed = with_fp.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b.column("fingerprint").to_pylist(), nb)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("fingerprint", "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        fps = g.column("fingerprint").to_numpy(zero_copy_only=False)
+        if len(fps) == 0:
+            return pa.table(
+                {
+                    "fingerprint": pa.array([], pa.string()),
+                    id_col: pa.array([], g.schema.field(id_col).type),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        change = np.nonzero(fps[1:] != fps[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        counts = np.diff(np.append(starts, len(fps)))
+        take = pa.array(starts, pa.int64())
         return pa.table(
             {
-                "fingerprint": [group.column("fingerprint")[0].as_py()],
-                id_col: [pa.compute.min(ids).as_py()],
-                "n_dups": pa.array([len(group)], pa.int64()),
+                "fingerprint": g.column("fingerprint").take(take),
+                id_col: g.column(id_col).take(take),  # min id = run start
+                "n_dups": pa.array(counts, pa.int64()),
             }
         )
 
-    return with_fp.groupby("fingerprint").map_groups(keep_min, batch_format="pyarrow")
+    return hashed.groupby("hb").map_groups(dedup_bucket, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
