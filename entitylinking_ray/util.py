@@ -29,7 +29,12 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     for a 100k-row two-column distinct; this shape does the same in ~2 s
     and scales the same way (one shuffle on the bucket key).
     """
+    import numpy as np
     import pandas as pd
+
+    from entitylinking_ray.stages.blocking import _n_buckets
+
+    nb = _n_buckets()  # scales with the cluster, not a fixed constant
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return df[cols].drop_duplicates()
@@ -37,7 +42,7 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
         df = df.copy()
-        df["_hb"] = (h % 128).astype("int32")
+        df["_hb"] = (h % np.uint64(nb)).astype("int32")
         return df
 
     def bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
