@@ -262,7 +262,7 @@ def link_to_catalog_blocked(
     )
     hashed = keyed.map_batches(
         lambda b: b.append_column(
-            "hb", _bucket_of(b.column("block_key").to_pylist(), nb)
+            "hb", _bucket_of(b.column("block_key").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
     )

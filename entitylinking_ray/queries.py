@@ -890,7 +890,7 @@ def q_unionfind_events(sf_dir: str):
 
     nb = _n_buckets()
     hashed = buckets.map_batches(
-        lambda b: b.append_column("hb", _bucket_of(b["bkey"].to_pylist(), nb)),
+        lambda b: b.append_column("hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)),
         batch_format="pyarrow",
     )
 
@@ -1819,7 +1819,7 @@ def _bucket_scores(sf_dir: str):
     )
     nb = _n_buckets()
     return agg.map_batches(
-        lambda b: b.append_column("hb", _bucket_of(b.column("bkey").to_pylist(), nb)),
+        lambda b: b.append_column("hb", _bucket_of(b.column("bkey").to_numpy(zero_copy_only=False), nb)),
         batch_format="pyarrow",
     )
 

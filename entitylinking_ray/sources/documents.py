@@ -136,7 +136,7 @@ def catalog_from_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
     nb = _n_buckets()
     hashed = distinct.map_batches(
         lambda b: b.append_column(
-            "hb", _bucket_of(b.column("entity_id").to_pylist(), nb)
+            "hb", _bucket_of(b.column("entity_id").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
     )

@@ -265,7 +265,7 @@ def candidate_pairs(
         name_pair = pc.binary_join_element_wise(
             b.column("name_a"), b.column("name_b"), "|"
         )
-        return b.append_column("pbucket", _bucket_of(name_pair.to_pylist(), nb))
+        return b.append_column("pbucket", _bucket_of(name_pair.to_numpy(zero_copy_only=False), nb))
 
     rebucketed = pairs.map_batches(add_pbucket, batch_format="pyarrow")
     deduped = rebucketed.groupby("pbucket").map_groups(

@@ -70,7 +70,7 @@ def exact_dedup(
     with_fp = add_fingerprint(ds, text_col).select_columns(["fingerprint", id_col])
     hashed = with_fp.map_batches(
         lambda b: b.append_column(
-            "hb", _bucket_of(b.column("fingerprint").to_pylist(), nb)
+            "hb", _bucket_of(b.column("fingerprint").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
     )
@@ -139,7 +139,7 @@ def _pairs_from_buckets(
     nb = _n_buckets()
     hashed = buckets.map_batches(
         lambda b: b.append_column(
-            "hb", _bucket_of(b.column("bucket_key").to_pylist(), nb)
+            "hb", _bucket_of(b.column("bucket_key").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
     )
@@ -211,7 +211,7 @@ def _pairs_from_buckets(
     )
     rebucketed = pairs.map_batches(
         lambda b: b.append_column(
-            "pb", _bucket_of(b.column("pair_key").to_pylist(), nb)
+            "pb", _bucket_of(b.column("pair_key").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
     )
