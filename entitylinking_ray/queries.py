@@ -1957,6 +1957,21 @@ def q_davidson_ranking(sf_dir: str):
     )
 
 
+def q_er_flat_text(sf_dir: str):
+    """The real-user entry path: a flat text table (the testdata documents
+    parquet) lifted into the canonical span schema by from_flat_text
+    (fallback NER + leading-token pseudo-mentions), then the full ER
+    pipeline. Rows-only: one cluster row per document."""
+    from entitylinking_ray.pipelines.entity_resolution import resolve_entities
+    from entitylinking_ray.sources.documents import from_flat_text
+
+    flat = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = from_flat_text(flat)
+    return resolve_entities(docs, EngineConfig())
+
+
 def q_incremental_er(sf_dir: str):
     """Streaming growth (J13 generalized): resolve the first 80% of the
     canonical corpus, then fold the remaining 20% into the existing
@@ -2192,6 +2207,7 @@ QUERIES = {
     "er_f1": q_er_f1,
     "incremental_er": q_incremental_er,
     "er_clusters": q_er_clusters,
+    "er_flat_text": q_er_flat_text,
 }
 
 ORACLE_SQL = {
