@@ -105,7 +105,7 @@ def run_bench() -> dict:
     sigs = extract_signatures(docs, cfg).materialize()
     pairs = candidate_pairs(block_keys(sigs, cfg), cfg).materialize()
     n_pairs = pairs.count()
-    edges = score_pairs(pairs, cfg)
+    edges = score_pairs(pairs, cfg, n_pairs_hint=n_pairs)
     import pyarrow as pa
 
     nodes = sigs.map_batches(

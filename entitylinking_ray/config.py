@@ -40,6 +40,28 @@ class EngineConfig:
     max_full_block_size: int = 64
     hot_block_window: int = 8
 
+    # --- pair-dedup shuffle policy (adaptive, VERDICT r2 #2) ---
+    # At or above this many raw candidate pairs, the pair-dedup shuffle is
+    # partitioned by the NAME-pair hash so duplicate name pairs co-locate
+    # and the scoring actors' memo hit rate stays pool-size-independent
+    # (the round-2 4->16-cpu scaling win: 0.34 -> 0.86 efficiency at
+    # 8.9 M pairs), and the deduped pairs are spread across pool*3 blocks
+    # before scoring. Below it, both extras cost more than they save
+    # (measured ~13% on the 255 k-pair headline): the shuffle key is the
+    # doc-pair key already in hand and no repartition pass runs.
+    memo_shuffle_min_pairs: int = 1_000_000
+
+    # --- blocked catalog linking (hot-key skew control) ---
+    # In link_to_catalog_blocked, a first-token ("T:") block key keeps at
+    # most this many catalog entities (deterministic: smallest entity_id),
+    # bounding the per-key mention x entity cross product at n_m * cap —
+    # without it one hot leading token (e.g. a common first word across a
+    # large catalog) materializes an unbounded cross product in one task.
+    # The exact sorted-name ("N:") key is never capped. Mirrored in the
+    # SQL oracles (row_number per tok1 <= cap), so parity holds with the
+    # cap active.
+    link_hot_key_entity_cap: int = 256
+
     # --- pair scoring (J11-analog weighted fusion) ---
     w_jaro_winkler: float = 0.5
     w_token_set: float = 0.2

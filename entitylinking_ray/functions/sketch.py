@@ -46,14 +46,20 @@ def hll_add_hashed(reg: np.ndarray, hashes: np.ndarray, p: int = 12) -> np.ndarr
 
 
 def hll_add(reg: np.ndarray, values: list[str], p: int = 12) -> np.ndarray:
-    """Fold raw string values (crc+splitmix hashed) into the sketch."""
-    import zlib
+    """Fold raw string values into the sketch.
 
-    h = np.fromiter(
-        (zlib.crc32(str(v).encode("utf-8")) for v in values),
-        dtype=_U64,
-        count=len(values),
-    )
+    The value hash is a true 64-bit string hash (pandas' vectorized
+    SipHash with its fixed default key — deterministic across processes)
+    finished with splitmix64. A 32-bit pre-hash (the round-2 version used
+    crc32) would cap the effective space at 2^32: birthday collisions
+    bias estimates low (~1% at 100M, ~11% at 1B) and hard-cap them near
+    4.3B — far worse than the 1.6% design error at p=12."""
+    import pandas as pd
+
+    if not values:
+        return reg
+    arr = np.asarray([str(v) for v in values], dtype=object)
+    h = pd.util.hash_array(arr, categorize=False).astype(_U64)
     return hll_add_hashed(reg, splitmix64(h), p)
 
 

@@ -204,10 +204,12 @@ def link_to_catalog_blocked(
 
     Scale shape: two narrow shuffles (block key, then mention id), payload
     = the strings being scored; catalog size is unbounded (never collected
-    to the driver or an actor). Hot first-token keys are bounded by
-    cfg.max_full_block_size * entities per mention... no — candidate count
-    per mention is bounded only by block sizes; cap hot keys upstream if
-    oracle parity is not required.
+    to the driver or an actor). Hot first-token ("T:") keys are capped at
+    cfg.link_hot_key_entity_cap catalog entities (deterministic: the
+    smallest entity_ids), bounding each key's cross product at
+    n_mentions * cap; the exact sorted-name ("N:") key is never capped.
+    The cap rule is mirrored in the SQL oracles (_BLOCKED_CTES:
+    row_number per first token <= cap), so parity holds with it active.
     """
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
     from entitylinking_ray.util import num_join_partitions
@@ -285,6 +287,7 @@ def link_to_catalog_blocked(
         keys = g.column("block_key").to_numpy(zero_copy_only=False)
         side = g.column("side").to_numpy(zero_copy_only=False)
         names = g.column("name").to_numpy(zero_copy_only=False)
+        ent_cap = cfg.link_hot_key_entity_cap
         mi_parts, ei_parts = [], []
         for s, e in _group_slices(keys):
             # mentions (side 0) sort before entities (side 1) within a run
@@ -292,8 +295,15 @@ def link_to_catalog_blocked(
             n_m, n_e = split - s, e - split
             if n_m == 0 or n_e == 0:
                 continue
+            # hot-key skew control: a first-token key keeps only the cap
+            # smallest entity_ids (entities are already sorted by
+            # entity_id asc within the run — the sort above). All rows of
+            # one block_key land in this one hash bucket, so the cap is
+            # globally consistent and deterministic.
+            if n_e > ent_cap and keys[s].startswith("T:"):
+                n_e = ent_cap
             m_idx = np.arange(s, split, dtype=np.int64)
-            e_idx = np.arange(split, e, dtype=np.int64)
+            e_idx = np.arange(split, split + n_e, dtype=np.int64)
             mi_parts.append(np.repeat(m_idx, n_e))
             ei_parts.append(np.tile(e_idx, n_m))
         if not mi_parts:

@@ -44,8 +44,11 @@ def resolve_entities(
     checkpoints. Singletons are preserved (every doc_id appears)."""
     cfg = config or EngineConfig()
     sigs = extract_signatures(docs, cfg)
-    pairs = candidate_pairs(block_keys(sigs, cfg), cfg)
-    edges = score_pairs(pairs, cfg)
+    pair_stats: dict = {}
+    pairs = candidate_pairs(block_keys(sigs, cfg), cfg, stats_out=pair_stats)
+    edges = score_pairs(
+        pairs, cfg, n_pairs_hint=pair_stats.get("n_candidate_pairs")
+    )
     labels = connected_components(
         edges, nodes=_nodes_of(sigs), config=cfg, assume_unique_nodes=True,
         nodes_cover_endpoints=True,
@@ -141,6 +144,7 @@ def run_checkpointed(
             rows = ray.data.read_parquet(tmp).count()
             man.commit_partition(name, i, part_fp, rows, time.time() - t0)
             done += 1
+        man.prune_partitions(name, len(chunks))
         man.mark_stage_complete(
             name, fingerprint, man.partition_rows_total(name), time.time() - t_all
         )
@@ -190,7 +194,13 @@ def run_checkpointed(
     pairs, fp_p = run_stage(
         "pairs", f"pairs|{fp_s}", lambda: candidate_pairs(block_keys(sigs, cfg), cfg)
     )
-    edges, fp_e = run_stage("edges", f"edges|{fp_p}", lambda: score_pairs(pairs, cfg))
+    # parquet-backed count is metadata-only — feeds the adaptive
+    # repartition decision in score_pairs
+    n_pairs = pairs.count()
+    edges, fp_e = run_stage(
+        "edges", f"edges|{fp_p}",
+        lambda: score_pairs(pairs, cfg, n_pairs_hint=n_pairs),
+    )
     clusters, _ = run_stage(
         "clusters",
         f"clusters|{fp_e}",

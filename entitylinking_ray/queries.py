@@ -556,12 +556,19 @@ def q_dedup_minhash(sf_dir: str):
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dedup with a FULL DuckDB oracle: the md5-prefix token
     hash is SQL-replayable, so the oracle recomputes every 64-bit SimHash,
-    finds all pairs within Hamming<=3 (the engine's 4x16-bit pigeonhole
-    banding finds exactly that set), and takes transitive closure with a
-    recursive CTE. Verifies signatures, banding completeness, Hamming
-    verification and union-find end to end."""
+    finds all pairs within Hamming<=3, and takes transitive closure with a
+    recursive CTE. The engine's 4x16-bit pigeonhole banding finds exactly
+    that set PROVIDED no band bucket is hot-windowed — so this oracled
+    query disables hot-block windowing (effectively-infinite
+    max_full_block_size); production runs keep the default cap and trade
+    exactness on pathological band skew (e.g. many empty texts) for a
+    bounded per-bucket cross product. Verifies signatures, banding
+    completeness, Hamming verification and union-find end to end."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", max_hamming=3, hash_fn="md5")
+    return simhash_dedup(
+        ds, "text", "doc_id", max_hamming=3, hash_fn="md5",
+        config=EngineConfig(max_full_block_size=1_000_000),
+    )
 
 
 SQL_DEDUP_SIMHASH = f"""
@@ -894,7 +901,15 @@ def q_unionfind_events(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    from entitylinking_ray.stages.blocking import _triu
+    from entitylinking_ray.stages.blocking import _triu, _window_pairs
+
+    # hot-bucket cap (VERDICT r2 #3): a busy (event_type, hour) run emits
+    # windowed sorted-neighborhood pairs instead of the full O(n^2) triu —
+    # the window keeps each run connected, so the transitive components
+    # (and the recursive-CTE oracle) are unchanged while pair count per
+    # run drops from n^2/2 to n*w.
+    cfg = EngineConfig()
+    cap, w = cfg.max_full_block_size, cfg.hot_block_window
 
     def pairs(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
@@ -908,7 +923,7 @@ def q_unionfind_events(sf_dir: str):
             n = e - s
             if n < 2:
                 continue
-            iu, ju = _triu(n)
+            iu, ju = _triu(n) if n <= cap else _window_pairs(n, w)
             ia_parts.append(iu + s)
             ib_parts.append(ju + s)
         if not ia_parts:
@@ -1174,7 +1189,14 @@ _PART_MENTION_SQL = f"""SELECT p_partkey AS doc_id,
 FROM part WHERE (p_partkey & 7) = 0"""
 
 # shared CTE prefix: mentions + catalog with the SQL-replayable blocking
-# keys (first token T:, sorted-distinct-name N:) and blocked candidates
+# keys (first token T:, sorted-distinct-name N:) and blocked candidates.
+# The engine's hot-key cap (link_to_catalog_blocked keeps only the
+# cfg.link_hot_key_entity_cap smallest entity_ids per first-token key) is
+# mirrored exactly: T-key pairs go through a row_number <= cap filter;
+# N-key pairs (both sides' sorted form differs from their first token —
+# the engine emits an N: key only then) are never capped. The previous
+# OR-join form is equivalent to this union when no key is hot.
+_LINK_ENTITY_CAP = EngineConfig().link_hot_key_entity_cap
 _BLOCKED_CTES = f"""
 WITH m AS (
   {_PART_MENTION_SQL}
@@ -1190,10 +1212,21 @@ WITH m AS (
          string_split(title, ' ')[1] AS tok1,
          {_SORTED_SQL.format(x="title")} AS srt
   FROM c
+), ckr AS (
+  SELECT entity_id, title, tok1, srt,
+         row_number() OVER (PARTITION BY tok1 ORDER BY entity_id) AS rn
+  FROM ck
 ), cand AS (
-  SELECT DISTINCT mk.doc_id, ck.entity_id,
-         jaro_winkler_similarity(mk.mention, ck.title) AS score
-  FROM mk JOIN ck ON (mk.tok1 = ck.tok1 OR mk.srt = ck.srt)
+  SELECT DISTINCT doc_id, entity_id,
+         jaro_winkler_similarity(mention, title) AS score
+  FROM (
+    SELECT mk.doc_id, ckr.entity_id, mk.mention, ckr.title
+    FROM mk JOIN ckr ON mk.tok1 = ckr.tok1 AND ckr.rn <= {_LINK_ENTITY_CAP}
+    UNION ALL
+    SELECT mk.doc_id, ck.entity_id, mk.mention, ck.title
+    FROM mk JOIN ck
+      ON mk.srt = ck.srt AND mk.srt <> mk.tok1 AND ck.srt <> ck.tok1
+  )
 )
 """
 
@@ -1342,7 +1375,7 @@ top AS (
 ), counts AS (
   SELECT type,
          count(*) AS n,
-         sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS correct,
+         CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS correct,
          sum(CASE WHEN pred <> -1 AND pred = gold THEN 1 ELSE 0 END) AS tp,
          sum(CASE WHEN pred <> -1 THEN 1 ELSE 0 END) AS pred_pos
   FROM joined GROUP BY type

@@ -204,18 +204,39 @@ def lsh_knn(
             norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
             codes = ((mat @ self.planes.T) > 0).astype(np.int64)
             code_ints = (codes * (1 << np.arange(n_planes))).sum(axis=1)
-            qidx, vidx, svals = [], [], []
-            for i in range(len(ids)):
-                for qi in self.b2q.get(int(code_ints[i]), ()):
-                    qidx.append(qi)
-                    vidx.append(i)
-                    svals.append(float(self.q[qi] @ norm[i]))
-            take = pa.array(np.asarray(vidx, dtype=np.int64), pa.int64())
+            # group batch rows by bucket code (argsort + run detection) and
+            # score each probed bucket with ONE matrix product — no per-row
+            # Python over the corpus (same candidate set; downstream merge
+            # re-sorts, so emission order is irrelevant)
+            order = np.argsort(code_ints, kind="stable")
+            sc = code_ints[order]
+            change = np.nonzero(sc[1:] != sc[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(sc)]))
+            qidx_parts, vidx_parts, sval_parts = [], [], []
+            for s, e in zip(starts, ends):
+                qs = self.b2q.get(int(sc[s]))
+                if not qs:
+                    continue
+                rows = order[s:e]
+                scores = self.q[np.asarray(qs, dtype=np.int64)] @ norm[rows].T
+                qidx_parts.append(np.repeat(np.asarray(qs, dtype=np.int64), len(rows)))
+                vidx_parts.append(np.tile(rows, len(qs)))
+                sval_parts.append(scores.ravel())
+            if not qidx_parts:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            take = pa.array(np.concatenate(vidx_parts), pa.int64())
             return pa.table(
                 {
-                    "query_id": pa.array(qidx, pa.int64()),
+                    "query_id": pa.array(np.concatenate(qidx_parts), pa.int64()),
                     "vec_id": ids.take(take),
-                    "score": pa.array(svals, pa.float64()),
+                    "score": pa.array(np.concatenate(sval_parts), pa.float64()),
                 }
             )
 

@@ -24,9 +24,10 @@ independent of task order and batch boundaries.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
@@ -46,12 +47,23 @@ def _num_partitions() -> int:
 
 
 def _checksum(labels: ray.data.Dataset) -> int:
+    """Order-independent fingerprint of the label table: per-row 64-bit
+    hash of "node=label" (pandas' vectorized C string hash — stable within
+    a session, which is all convergence detection needs), summed with
+    uint64 wraparound. No per-row Python on the 10^12-doc path."""
+
     def partial(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node").to_pylist()
-        labs = batch.column("label").to_pylist()
-        s = 0
-        for n, l in zip(nodes, labs):
-            s = (s + zlib.crc32(f"{n}={l}".encode())) & 0xFFFFFFFFFFFFFFFF
+        joined = pc.binary_join_element_wise(
+            pc.cast(batch.column("node"), pa.string()),
+            pc.cast(batch.column("label"), pa.string()),
+            "=",
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        h = pd.util.hash_array(
+            joined.to_numpy(zero_copy_only=False), categorize=False
+        )
+        s = int(h.sum(dtype=np.uint64))
         return pa.table({"partial": pa.array([s], type=pa.uint64())})
 
     res = labels.map_batches(partial, batch_format="pyarrow").aggregate(Sum("partial"))

@@ -155,6 +155,21 @@ class Manifest:
         parts = self._data["stages"].get(name, {}).get("partitions_done", {})
         return sum(int(r["rows"]) for r in parts.values())
 
+    def prune_partitions(self, name: str, n_current: int) -> None:
+        """Drop manifest entries (and directories) for partition indices
+        >= the current partition count — stale leftovers of an earlier run
+        with a different chunking would otherwise linger on disk and
+        inflate ``partition_rows_total`` (ADVICE r2)."""
+        parts = self._data["stages"].get(name, {}).get("partitions_done", {})
+        stale = [p for p in parts if int(p) >= n_current]
+        for p in stale:
+            del parts[p]
+            d = self.partition_dir(name, int(p))
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if stale:
+            self._save()
+
     def mark_stage_complete(
         self, name: str, fingerprint: str, rows: int, wall_sec: float
     ) -> None:
