@@ -42,6 +42,34 @@ class HashingEncoder:
         return out / norms
 
 
+def resolve_encoder(cfg):
+    """Resolve the configured encoder (the ST1 'real model' slot —
+    ``OneNet/data_process.py:193-215`` loads a SentenceTransformer once
+    and encodes batches; any object with ``encode(list[str]) -> (n, d)
+    ndarray`` drops in here).
+
+    ``cfg.extra["encoder"]`` selects it:
+    - absent/None  -> the deterministic :class:`HashingEncoder`
+    - a string     -> looked up in ``registry.ENCODERS`` (factories
+      taking the config, so a model path/dim can come from
+      ``cfg.extra``); register your model with
+      ``register(ENCODERS, "mymodel")``
+    - a callable   -> treated as a factory ``f(cfg) -> encoder``
+    - anything else-> assumed to BE an encoder instance
+
+    Called from actor ``__init__`` (once per actor), never per batch."""
+    enc = (cfg.extra or {}).get("encoder")
+    if enc is None:
+        return HashingEncoder(dim=cfg.embed_dim, seed=cfg.seed, shingle_k=cfg.shingle_k)
+    if isinstance(enc, str):
+        from entitylinking_ray.registry import encoder as lookup
+
+        return lookup(enc)(cfg)
+    if callable(enc) and not hasattr(enc, "encode"):
+        return enc(cfg)
+    return enc
+
+
 def cosine_rowwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-by-row cosine of two (n, d) matrices (inputs need not be unit)."""
     num = np.einsum("ij,ij->i", a, b)

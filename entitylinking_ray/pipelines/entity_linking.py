@@ -171,6 +171,47 @@ def _link_block_keys(name_norm: str) -> list[str]:
     return keys
 
 
+def make_embedding_score_fn(config: EngineConfig | None = None):
+    """``score_fn`` for :func:`link_to_catalog_blocked` that scores
+    candidates by embedding cosine — the reference's ``"embedding"``
+    search method (``e2e/entity_database.py:305-324``: encode the query,
+    dot against the catalog embedding matrix).
+
+    The encoder comes from the config slot (``cfg.extra["encoder"]``,
+    resolved via ``registry.ENCODERS`` — see
+    ``functions.embed.resolve_encoder``) and is built LAZILY on first
+    call inside each scoring task, then memoized per distinct name. For
+    heavyweight models prefer driving the scoring stage as an actor pool;
+    for the deterministic hashing encoder per-task construction is free.
+    """
+    cfg = config or EngineConfig()
+    state: dict = {}
+
+    def score(qnames, dnames) -> np.ndarray:
+        from entitylinking_ray.functions.embed import cosine_rowwise, resolve_encoder
+
+        enc = state.get("enc")
+        if enc is None:
+            enc = state["enc"] = resolve_encoder(cfg)
+            state["cache"] = {}
+        cache = state["cache"]
+        qn, dn = list(qnames), list(dnames)
+        missing = [s for s in dict.fromkeys(qn + dn) if s not in cache]
+        if missing:
+            vecs = enc.encode(missing)
+            if len(cache) > 1_000_000:
+                cache.clear()
+            for s, v in zip(missing, vecs):
+                cache[s] = np.asarray(v, dtype=np.float64)
+        if not qn:
+            return np.zeros(0, dtype=np.float64)
+        a = np.stack([cache[s] for s in qn])
+        b = np.stack([cache[s] for s in dn])
+        return cosine_rowwise(a, b)
+
+    return score
+
+
 def link_to_catalog_blocked(
     mentions: ray.data.Dataset,
     catalog: ray.data.Dataset,
@@ -182,6 +223,7 @@ def link_to_catalog_blocked(
     nil_threshold: float | None = None,
     config: EngineConfig | None = None,
     score_fn=None,
+    hybrid_score_fns=None,
 ) -> ray.data.Dataset:
     """Large-catalog entity linking: catalog and mentions are both
     Datasets; neither is broadcast. Blocks mentions and catalog entries on
@@ -200,7 +242,18 @@ def link_to_catalog_blocked(
 
     ``score_fn(mention_names, title_names) -> float array`` overrides the
     default Jaro-Winkler candidate scorer (e.g. a broadcast-stats BM25 —
-    the reference's lexical ranking, ``e2e/entity_database.py:326-372``).
+    the reference's lexical ranking, ``e2e/entity_database.py:326-372``;
+    or :func:`make_embedding_score_fn` — its ``"embedding"`` method).
+
+    ``hybrid_score_fns = (emb_fn, lex_fn, w_emb, w_lex)`` switches to the
+    reference's HYBRID fusion (``e2e/entity_database.py:374-416``,
+    weights 0.7/0.3): both component scores are computed per candidate,
+    carried through the per-mention shuffle, max-normalized over each
+    mention's candidate set (exactly the reference's per-query
+    normalization — the mention groupby co-locates the candidate set, so
+    this is a vectorized run pass, not an extra shuffle), and fused as
+    ``w_emb * emb_n + w_lex * lex_n``; ranking and ``nil_threshold``
+    apply to the fused score. Mutually exclusive with ``score_fn``.
 
     Scale shape: two narrow shuffles (block key, then mention id), payload
     = the strings being scored; catalog size is unbounded (never collected
@@ -214,6 +267,8 @@ def link_to_catalog_blocked(
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
     from entitylinking_ray.util import num_join_partitions
 
+    if score_fn is not None and hybrid_score_fns is not None:
+        raise ValueError("score_fn and hybrid_score_fns are mutually exclusive")
     cfg = config or EngineConfig()
     nb = _n_buckets()
     sch = mentions.schema()
@@ -307,24 +362,35 @@ def link_to_catalog_blocked(
             mi_parts.append(np.repeat(m_idx, n_e))
             ei_parts.append(np.tile(e_idx, n_m))
         if not mi_parts:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], id_type),
-                    "entity_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+            cols = {
+                "doc_id": pa.array([], id_type),
+                "entity_id": pa.array([], pa.int64()),
+            }
+            if hybrid_score_fns is not None:
+                cols["s_emb"] = pa.array([], pa.float64())
+                cols["s_lex"] = pa.array([], pa.float64())
+            else:
+                cols["score"] = pa.array([], pa.float64())
+            return pa.table(cols)
         mi = np.concatenate(mi_parts)
         ei = np.concatenate(ei_parts)
-        fn = score_fn if score_fn is not None else jaro_winkler_batch
-        scores = np.asarray(fn(names[mi], names[ei]), dtype=np.float64)
-        return pa.table(
-            {
-                "doc_id": g.column("doc_id").take(pa.array(mi)),
-                "entity_id": g.column("entity_id").take(pa.array(ei)),
-                "score": pa.array(scores, pa.float64()),
-            }
-        )
+        cols = {
+            "doc_id": g.column("doc_id").take(pa.array(mi)),
+            "entity_id": g.column("entity_id").take(pa.array(ei)),
+        }
+        if hybrid_score_fns is not None:
+            emb_fn, lex_fn = hybrid_score_fns[0], hybrid_score_fns[1]
+            cols["s_emb"] = pa.array(
+                np.asarray(emb_fn(names[mi], names[ei]), dtype=np.float64)
+            )
+            cols["s_lex"] = pa.array(
+                np.asarray(lex_fn(names[mi], names[ei]), dtype=np.float64)
+            )
+        else:
+            fn = score_fn if score_fn is not None else jaro_winkler_batch
+            scores = np.asarray(fn(names[mi], names[ei]), dtype=np.float64)
+            cols["score"] = pa.array(scores, pa.float64())
+        return pa.table(cols)
 
     cand = hashed.groupby("hb").map_groups(score_bucket, batch_format="pyarrow")
 
@@ -340,7 +406,48 @@ def link_to_catalog_blocked(
         batch_format="pyarrow",
     )
 
+    def fuse_hybrid(g: pa.Table) -> pa.Table:
+        """Reference hybrid fusion (``e2e/entity_database.py:374-416``):
+        dedup key-family duplicates, max-normalize each component over
+        every mention's candidate run (all of a mention's candidates are
+        in this bucket — the mention groupby guarantees it), fuse with
+        the configured weights. Vectorized run passes, no extra shuffle."""
+        w_emb, w_lex = float(hybrid_score_fns[2]), float(hybrid_score_fns[3])
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("entity_id", "ascending")]
+        )
+        g = g.take(order)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        eids = g.column("entity_id").to_numpy(zero_copy_only=False)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = (ids[1:] != ids[:-1]) | (eids[1:] != eids[:-1])
+        keep = np.nonzero(first)[0]
+        g = g.take(pa.array(keep))
+        ids = ids[keep]
+        new_doc = np.empty(len(keep), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(new_doc)[0]
+        rep = np.diff(np.append(starts, len(keep)))
+        s1 = g.column("s_emb").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = g.column("s_lex").to_numpy(zero_copy_only=False).astype(np.float64)
+        m1 = np.maximum.reduceat(s1, starts)
+        m2 = np.maximum.reduceat(s2, starts)
+        m1 = np.where(m1 > 0, m1, 1.0)
+        m2 = np.where(m2 > 0, m2, 1.0)
+        fused = w_emb * (s1 / np.repeat(m1, rep)) + w_lex * (s2 / np.repeat(m2, rep))
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "entity_id": g.column("entity_id"),
+                "score": pa.array(fused, pa.float64()),
+            }
+        )
+
     def topk_bucket(g: pa.Table) -> pa.Table:
+        if hybrid_score_fns is not None and len(g) > 0:
+            g = fuse_hybrid(g)
         order = pa.compute.sort_indices(
             g,
             sort_keys=[

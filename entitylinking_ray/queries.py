@@ -1197,9 +1197,14 @@ FROM part WHERE (p_partkey & 7) = 0"""
 # the engine emits an N: key only then) are never capped. The previous
 # OR-join form is equivalent to this union when no key is hot.
 _LINK_ENTITY_CAP = EngineConfig().link_hot_key_entity_cap
-_BLOCKED_CTES = f"""
+
+
+def _blocked_ctes(mention_sql: str) -> str:
+    """Blocked-linking CTE prefix over an arbitrary mention query (the
+    per-corpus query reuses it with a filtered mention set)."""
+    return f"""
 WITH m AS (
-  {_PART_MENTION_SQL}
+  {mention_sql}
 ), mk AS (
   SELECT doc_id, mention,
          string_split(mention, ' ')[1] AS tok1,
@@ -1229,6 +1234,9 @@ WITH m AS (
   )
 )
 """
+
+
+_BLOCKED_CTES = _blocked_ctes(_PART_MENTION_SQL)
 
 
 def q_entity_linking_blocked(sf_dir: str):
@@ -1299,6 +1307,32 @@ UNION ALL
 SELECT doc_id, -1 AS entity_id, -1.0 AS score, 1 AS "rank"
 FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
 """
+
+
+def q_entity_linking_hybrid(sf_dir: str):
+    """Hybrid candidate ranking — the reference's ``"hybrid"`` search
+    method (``e2e/entity_database.py:374-416``): embedding-cosine (the
+    configured encoder slot, default deterministic hashing) and BM25
+    components, each max-normalized over the mention's candidate set
+    inside the per-mention groupby, fused 0.7/0.3. No SQL oracle: the
+    encoder is not SQL-expressible; fusion semantics are pinned in
+    pytest against a driver-side replay (rows-only check here)."""
+    from entitylinking_ray.registry import searcher
+
+    mentions = _part_mentions(sf_dir)
+    catalog = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return searcher("hybrid")(
+        mentions,
+        catalog,
+        mention_col="mention",
+        id_col="doc_id",
+        entity_id_col="p_partkey",
+        title_col="p_name",
+        top_k=3,
+        nil_threshold=0.2,
+    )
 
 
 def q_per_type_accuracy(sf_dir: str):
@@ -1381,6 +1415,143 @@ top AS (
   FROM joined GROUP BY type
 )
 SELECT type, n, correct,
+       CAST(correct AS DOUBLE) / n AS accuracy,
+       CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END AS precision,
+       CAST(tp AS DOUBLE) / n AS recall,
+       CASE WHEN (CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END
+                  + CAST(tp AS DOUBLE) / n) > 0
+            THEN 2 * (CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END)
+                   * (CAST(tp AS DOUBLE) / n)
+                 / ((CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END)
+                    + (CAST(tp AS DOUBLE) / n))
+            ELSE 0.0 END AS f1
+FROM counts
+"""
+
+
+def q_per_corpus_accuracy(sf_dir: str):
+    """Per-corpus linking accuracy END TO END through the labeled-corpus
+    loader family (``OneNet/eval.py:23-50`` N.Acc per corpus;
+    ``Sparkle/database.py:29-78`` corpus name from file path): the query
+    first WRITES deterministic labeled-JSONL corpora to /tmp (one file
+    per corpus — content derived from part.parquet so the DuckDB twin
+    replays it from the registered view), then reads them back with
+    ``read_labeled_corpora`` (corpus = file basename), explodes labels
+    with ``mentions_from_labels`` (NIL labels dropped at load — D6),
+    links via the blocked linker, and aggregates accuracy/P/R/F1 per
+    corpus. Loader bugs surface as oracle mismatches because the engine
+    path round-trips through the JSONL transport and the oracle does not.
+
+    Fixture rule (SQL-replayable): mention rows are the _part_mentions
+    workload; corpus = 'corpus' || (doc_id % 3); every doc_id % 5 == 0
+    row is labeled '<NIL>' (dropped by the loader, filtered by the SQL).
+    Gold = the source part key = doc_id."""
+    import hashlib
+    import json
+    import os
+
+    from entitylinking_ray.pipelines.entity_linking import link_to_catalog_blocked
+    from entitylinking_ray.pipelines.eval import per_type_metrics
+    from entitylinking_ray.sources.documents import (
+        mentions_from_labels,
+        read_labeled_corpora,
+    )
+
+    men_df = _part_mentions(sf_dir).to_pandas()
+    fix_key = hashlib.md5(f"{sf_dir}|{len(men_df)}".encode()).hexdigest()[:10]
+    fix_dir = f"/tmp/elray_percorpus_{fix_key}"
+    if not os.path.isdir(fix_dir):
+        tmp = fix_dir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        handles = {c: open(os.path.join(tmp, f"corpus{c}.jsonl"), "w") for c in range(3)}
+        for did, mention in zip(men_df["doc_id"], men_df["mention"]):
+            did = int(did)
+            gold = "<NIL>" if did % 5 == 0 else str(did)
+            row = {
+                "doc_id": did,
+                "text": mention,
+                "labels": [
+                    {
+                        "entity_id": gold,
+                        "name": mention,
+                        "type": mention.split(" ")[0] if mention else "",
+                    }
+                ],
+            }
+            handles[did % 3].write(json.dumps(row) + "\n")
+        for h in handles.values():
+            h.close()
+        try:
+            os.rename(tmp, fix_dir)
+        except OSError:
+            pass  # concurrent writer won the rename; contents identical
+
+    files = sorted(
+        os.path.join(fix_dir, f) for f in os.listdir(fix_dir) if f.endswith(".jsonl")
+    )
+    labeled = read_labeled_corpora(files)
+    men = mentions_from_labels(labeled, carry_cols=("corpus",))
+    mentions = men.map_batches(
+        lambda b: b.select(["doc_id", "mention"]), batch_format="pyarrow"
+    )
+    catalog = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    preds = link_to_catalog_blocked(
+        mentions,
+        catalog,
+        mention_col="mention",
+        id_col="doc_id",
+        entity_id_col="p_partkey",
+        title_col="p_name",
+        top_k=1,
+        nil_threshold=0.9,
+    ).select_columns(["doc_id", "entity_id"])
+    gold = men.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "gold_entity_id": pc.cast(b.column("gold_entity_id"), pa.int64()),
+                "type": b.column("corpus"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = per_type_metrics(preds, gold)
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["corpus" if c == "type" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_PERCORPUS_MENTION_SQL = _PART_MENTION_SQL + " AND (p_partkey % 5) <> 0"
+
+SQL_PER_CORPUS_ACCURACY = f"""
+{_blocked_ctes(_PERCORPUS_MENTION_SQL)},
+top AS (
+  SELECT doc_id,
+         CASE WHEN score < 0.9 THEN -1 ELSE entity_id END AS pred
+  FROM (
+    SELECT doc_id, entity_id, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, entity_id) AS rn
+    FROM cand) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, -1 AS pred FROM m WHERE doc_id NOT IN (SELECT doc_id FROM cand)
+), joined AS (
+  SELECT 'corpus' || CAST(doc_id % 3 AS VARCHAR) AS corpus, pred,
+         doc_id AS gold
+  FROM top
+), counts AS (
+  SELECT corpus,
+         count(*) AS n,
+         CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         sum(CASE WHEN pred <> -1 AND pred = gold THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN pred <> -1 THEN 1 ELSE 0 END) AS pred_pos
+  FROM joined GROUP BY corpus
+)
+SELECT corpus, n, correct,
        CAST(correct AS DOUBLE) / n AS accuracy,
        CASE WHEN pred_pos > 0 THEN CAST(tp AS DOUBLE) / pred_pos ELSE 0.0 END AS precision,
        CAST(tp AS DOUBLE) / n AS recall,
@@ -2222,8 +2393,10 @@ QUERIES = {
     "extract_mentions": q_extract_mentions,
     "entity_linking": q_entity_linking,
     "entity_linking_blocked": q_entity_linking_blocked,
+    "entity_linking_hybrid": q_entity_linking_hybrid,
     "bm25_rank": q_bm25_rank,
     "per_type_accuracy": q_per_type_accuracy,
+    "per_corpus_accuracy": q_per_corpus_accuracy,
     "recall_at_k": q_recall_at_k,
     "blocking_recall": q_blocking_recall,
     "btl_ranking": q_btl_ranking,
@@ -2271,6 +2444,7 @@ ORACLE_SQL = {
     "entity_linking_blocked": SQL_ENTITY_LINKING_BLOCKED,
     "bm25_rank": SQL_BM25_RANK,
     "per_type_accuracy": SQL_PER_TYPE_ACCURACY,
+    "per_corpus_accuracy": SQL_PER_CORPUS_ACCURACY,
     "recall_at_k": SQL_RECALL_AT_K,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "group_minmax": SQL_GROUP_MINMAX,

@@ -106,6 +106,27 @@ RANKERS: dict[str, Callable] = dict(_RANKERS)
 ranker = _make_lookup(RANKERS, "ranker")
 
 
+# --- encoders (the ST1 "real model" slot) ------------------------------------
+#
+# Factories ``f(cfg) -> encoder`` where the encoder exposes
+# ``encode(list[str]) -> (n, d) ndarray`` — the interface of a
+# SentenceTransformer (``OneNet/data_process.py:193-215``). A real model
+# registers here and is selected with ``EngineConfig(extra={"encoder":
+# "<name>"})``; it is constructed once per actor in ``PairScorer.__init__``
+# / the embedding score_fn, never per batch.
+
+def _hashing_encoder(cfg):
+    from entitylinking_ray.functions.embed import HashingEncoder
+
+    return HashingEncoder(dim=cfg.embed_dim, seed=cfg.seed, shingle_k=cfg.shingle_k)
+
+
+ENCODERS: dict[str, Callable] = {
+    "hashing": _hashing_encoder,
+}
+encoder = _make_lookup(ENCODERS, "encoder")
+
+
 # --- candidate search strategies (the reference's bm25/embedding/hybrid) ----
 
 def _search_exhaustive(mentions, entity_ids, titles, **kw):
@@ -145,9 +166,61 @@ def _search_blocked_bm25(mentions, catalog, bm25_stats=None, **kw):
     return link_to_catalog_blocked(mentions, catalog, score_fn=score_fn, **kw)
 
 
+def _search_blocked_embedding(mentions, catalog, config=None, **kw):
+    """The reference's ``"embedding"`` method (``e2e/entity_database.py:
+    305-324``): candidates scored by encoder cosine; the encoder comes
+    from the config slot (cfg.extra["encoder"], default hashing)."""
+    from entitylinking_ray.pipelines.entity_linking import (
+        link_to_catalog_blocked,
+        make_embedding_score_fn,
+    )
+
+    return link_to_catalog_blocked(
+        mentions, catalog, config=config,
+        score_fn=make_embedding_score_fn(config), **kw
+    )
+
+
+def _search_blocked_hybrid(mentions, catalog, config=None, bm25_stats=None, **kw):
+    """The reference's ``"hybrid"`` method (``e2e/entity_database.py:
+    374-416``): per-mention max-normalized embedding + BM25 components
+    fused 0.7/0.3."""
+    import pyarrow as pa
+
+    import ray
+
+    from entitylinking_ray.functions.lexical import bm25_batch, corpus_stats
+    from entitylinking_ray.pipelines.entity_linking import (
+        link_to_catalog_blocked,
+        make_embedding_score_fn,
+    )
+
+    if bm25_stats is None:
+        title_col = kw.get("title_col", "title")
+        bm25_stats = corpus_stats(
+            catalog.map_batches(
+                lambda b: pa.table({"title": b[title_col]}), batch_format="pyarrow"
+            ),
+            "title",
+        )
+    ref = ray.put(bm25_stats)
+
+    def lex_fn(q, d):
+        df, n, a = ray.get(ref)
+        return bm25_batch(list(q), list(d), df, n, a)
+
+    return link_to_catalog_blocked(
+        mentions, catalog, config=config,
+        hybrid_score_fns=(make_embedding_score_fn(config), lex_fn, 0.7, 0.3),
+        **kw,
+    )
+
+
 SEARCHERS: dict[str, Callable] = {
-    "exhaustive": _search_exhaustive,  # broadcast path (embedding-analog)
-    "blocked": _search_blocked,  # JW within blocks (hybrid-analog)
+    "exhaustive": _search_exhaustive,  # broadcast path
+    "blocked": _search_blocked,  # JW within blocks
     "bm25": _search_blocked_bm25,  # lexical ranking within blocks
+    "embedding": _search_blocked_embedding,  # encoder-cosine within blocks
+    "hybrid": _search_blocked_hybrid,  # 0.7*emb + 0.3*bm25, per-mention normalized
 }
 searcher = _make_lookup(SEARCHERS, "searcher")

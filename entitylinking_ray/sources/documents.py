@@ -67,13 +67,40 @@ def read_labeled_jsonl(path: str) -> ray.data.Dataset:
     return ray.data.read_json(path)
 
 
+def read_labeled_corpora(paths: list[str] | str) -> ray.data.Dataset:
+    """Read labeled JSONL corpora where each FILE is one corpus — the
+    reference derives the corpus name from the file path when loading
+    multi-corpus eval data (``Sparkle/database.py:29-78``,
+    ``OneNet/eval.py:23-50`` groups accuracy per corpus). Adds a
+    ``corpus`` column = file basename without extension."""
+    import os
+
+    ds = ray.data.read_json(paths, include_paths=True)
+
+    def add_corpus(b: pa.Table) -> pa.Table:
+        names = [
+            os.path.splitext(os.path.basename(p))[0]
+            for p in b.column("path").to_pylist()
+        ]
+        return b.drop_columns(["path"]).append_column(
+            "corpus", pa.array(names, pa.string())
+        )
+
+    return ds.map_batches(add_corpus, batch_format="pyarrow")
+
+
 def mentions_from_labels(
-    ds: ray.data.Dataset, id_col: str = "doc_id", drop_nil: bool = True
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    drop_nil: bool = True,
+    carry_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Labeled rows -> one mention row per label:
-    (doc_id, mention, gold_entity_id, type). ``drop_nil`` skips
-    '<NIL>'/'<NO_MAPPING>' labels (D6). Rows without a ``doc_id`` field
-    get a deterministic id (md5 of the text)."""
+    (doc_id, mention, gold_entity_id, type[, carry_cols...]). ``drop_nil``
+    skips '<NIL>'/'<NO_MAPPING>' labels (D6). Rows without a ``doc_id``
+    field get a deterministic id (md5 of the text). ``carry_cols`` are
+    row-level columns replicated onto each exploded mention (e.g. the
+    ``corpus`` column from :func:`read_labeled_corpora`)."""
     import hashlib
 
     from entitylinking_ray.pipelines.entity_linking import NIL_LABELS
@@ -81,6 +108,7 @@ def mentions_from_labels(
     def explode(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         out_id, out_m, out_e, out_t = [], [], [], []
+        out_carry: dict[str, list] = {c: [] for c in carry_cols}
         for r in rows:
             did = str(
                 r.get(id_col)
@@ -94,14 +122,22 @@ def mentions_from_labels(
                 out_m.append(str(lab.get("name") or ""))
                 out_e.append(eid)
                 out_t.append(str(lab.get("type") or "UNKNOWN"))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.string()),
-                "mention": pa.array(out_m, pa.string()),
-                "gold_entity_id": pa.array(out_e, pa.string()),
-                "type": pa.array(out_t, pa.string()),
-            }
-        )
+                for c in carry_cols:
+                    out_carry[c].append(r.get(c))
+        cols = {
+            "doc_id": pa.array(out_id, pa.string()),
+            "mention": pa.array(out_m, pa.string()),
+            "gold_entity_id": pa.array(out_e, pa.string()),
+            "type": pa.array(out_t, pa.string()),
+        }
+        for c in carry_cols:
+            t = (
+                batch.schema.field(c).type
+                if c in batch.column_names
+                else None
+            )
+            cols[c] = pa.array(out_carry[c], type=t)
+        return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -147,6 +183,82 @@ def catalog_from_labels(ds: ray.data.Dataset) -> ray.data.Dataset:
             lambda b: b.select(["entity_id", "title"]), batch_format="pyarrow"
         )
     )
+
+
+def catalog_from_eval_setup(path: str) -> ray.data.Dataset:
+    """S5: eval-setup entities file ``{"entities": {id: {title,
+    description, metadata}}}`` (``e2e/entity_database.py:121-151``) ->
+    catalog Dataset (entity_id, title, description), defaults mirroring
+    the reference ('Unknown' / 'No description'). Eval-setup files are
+    bounded benchmark configs (one nested JSON object, not JSONL), so a
+    driver-side parse + ``from_arrow`` is the right scale shape; the
+    unbounded distributed path is :func:`catalog_from_wikidata`."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    ents = data.get("entities", {}) or {}
+    ids = sorted(ents, key=str)
+    infos = [ents[i] or {} for i in ids]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array([str(i) for i in ids], pa.string()),
+                "title": pa.array(
+                    [str(e.get("title", "Unknown")) for e in infos], pa.string()
+                ),
+                "description": pa.array(
+                    [str(e.get("description", "No description")) for e in infos],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+
+
+def catalog_from_wikidata(paths) -> ray.data.Dataset:
+    """S6: Wikidata-format per-entity JSON files, filename = entity id
+    (``e2e/entity_database.py:152-212``): project the English label /
+    description / aliases exactly like the reference ('en' pick with its
+    defaults). Distributed: each file is one JSON OBJECT (not JSONL), so
+    files stream as binary blobs and parse inside ``map_batches``."""
+    import json
+    import os
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        ids, titles, descs, aliases = [], [], [], []
+        for p, raw in zip(
+            b.column("path").to_pylist(), b.column("bytes").to_pylist()
+        ):
+            if not str(p).endswith(".json"):
+                continue
+            try:
+                d = json.loads(raw)
+            except (ValueError, TypeError):
+                continue
+            ids.append(os.path.splitext(os.path.basename(p))[0])
+            labels = d.get("labels") or {}
+            titles.append((labels.get("en") or {}).get("value", "Unknown"))
+            descs.append(
+                ((d.get("descriptions") or {}).get("en") or {}).get(
+                    "value", "No description"
+                )
+            )
+            aliases.append(
+                [a.get("value", "") for a in (d.get("aliases") or {}).get("en", [])]
+            )
+        return pa.table(
+            {
+                "entity_id": pa.array(ids, pa.string()),
+                "title": pa.array(titles, pa.string()),
+                "description": pa.array(descs, pa.string()),
+                "aliases": pa.array(aliases, pa.list_(pa.string())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def synthesize_documents(n_docs: int, seed: int = 42) -> ray.data.Dataset:

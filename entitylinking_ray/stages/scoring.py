@@ -27,7 +27,6 @@ import pyarrow as pa
 import ray.data
 
 from entitylinking_ray.config import EngineConfig
-from entitylinking_ray.functions.embed import HashingEncoder
 from entitylinking_ray.functions.strsim import (
     jaro_winkler_batch,
     token_set_levenshtein_batch,
@@ -51,10 +50,13 @@ class PairScorer:
     _MAX_CACHE = 2_000_000
 
     def __init__(self, config: EngineConfig | None = None, bm25_stats_ref=None):
+        from entitylinking_ray.functions.embed import resolve_encoder
+
         self.cfg = config or EngineConfig()
-        self.encoder = HashingEncoder(
-            dim=self.cfg.embed_dim, seed=self.cfg.seed, shingle_k=self.cfg.shingle_k
-        )
+        # the ST1 model slot: cfg.extra["encoder"] selects a registered
+        # encoder factory (a real model loads HERE, once per actor);
+        # default is the deterministic HashingEncoder
+        self.encoder = resolve_encoder(self.cfg)
         # optional 4th fusion term: (df, n_docs, avgdl) broadcast once via
         # ray.put; symmetric BM25 of the pair's names joins the fusion
         # with weight cfg.w_bm25 (default 0 — see config.py)

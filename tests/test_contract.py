@@ -22,6 +22,7 @@ FAST_QUERIES = [
     "knn_bruteforce",
     "entity_linking",
     "extract_mentions",
+    "per_corpus_accuracy",
 ]
 
 

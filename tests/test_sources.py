@@ -119,3 +119,96 @@ def test_labeled_jsonl_loaders(ray_session, tmp_path):
     catalog = {r["entity_id"]: r["title"] for r in catalog_from_labels(ds).take_all()}
     assert set(catalog) == {"e1", "e2", "e3"}
     assert catalog["e1"] == "Alpha Corp"  # smallest name wins, deterministic
+
+
+def test_read_labeled_corpora_and_carry(ray_session, tmp_path):
+    """read_labeled_corpora: corpus name from file path; carry_cols
+    replicates it onto each exploded mention (OneNet/eval.py:23-50)."""
+    import json
+
+    from entitylinking_ray.sources.documents import (
+        mentions_from_labels,
+        read_labeled_corpora,
+    )
+
+    for corpus, rows in {
+        "wiki": [
+            {"doc_id": 1, "text": "t1", "labels": [
+                {"entity_id": "e1", "name": "Alpha"},
+                {"entity_id": "<NIL>", "name": "Nil"},
+            ]},
+        ],
+        "news": [
+            {"doc_id": 2, "text": "t2", "labels": [
+                {"entity_id": "e2", "name": "Beta"},
+            ]},
+        ],
+    }.items():
+        with open(tmp_path / f"{corpus}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    ds = read_labeled_corpora(
+        [str(tmp_path / "wiki.jsonl"), str(tmp_path / "news.jsonl")]
+    )
+    men = mentions_from_labels(ds, carry_cols=("corpus",)).take_all()
+    assert len(men) == 2  # NIL dropped
+    by_corpus = {m["corpus"]: m for m in men}
+    assert by_corpus["wiki"]["gold_entity_id"] == "e1"
+    assert by_corpus["news"]["mention"] == "Beta"
+
+
+def test_catalog_from_eval_setup(ray_session, tmp_path):
+    """S5 projection: {entities: {id: info}} with reference defaults
+    (e2e/entity_database.py:121-151)."""
+    import json
+
+    from entitylinking_ray.sources.documents import catalog_from_eval_setup
+
+    path = tmp_path / "eval_setup.json"
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "entities": {
+                    "Q2": {"title": "Beta Inc", "description": "beta co"},
+                    "Q1": {"title": "Alpha Corp"},
+                    "Q3": {},
+                }
+            },
+            f,
+        )
+    rows = {r["entity_id"]: r for r in catalog_from_eval_setup(str(path)).take_all()}
+    assert set(rows) == {"Q1", "Q2", "Q3"}
+    assert rows["Q1"]["title"] == "Alpha Corp"
+    assert rows["Q1"]["description"] == "No description"
+    assert rows["Q2"]["description"] == "beta co"
+    assert rows["Q3"]["title"] == "Unknown"
+
+
+def test_catalog_from_wikidata(ray_session, tmp_path):
+    """S6 projection: per-entity Wikidata JSON, en label/description/
+    aliases picked like the reference (e2e/entity_database.py:152-212)."""
+    import json
+
+    from entitylinking_ray.sources.documents import catalog_from_wikidata
+
+    q1 = {
+        "labels": {"en": {"value": "Douglas Adams"}, "fr": {"value": "DA"}},
+        "descriptions": {"en": {"value": "author"}},
+        "aliases": {"en": [{"value": "D. Adams"}, {"value": "DNA"}]},
+    }
+    q2 = {"labels": {"de": {"value": "nur deutsch"}}}
+    for name, d in [("Q42", q1), ("Q99", q2)]:
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump(d, f)
+    rows = {
+        r["entity_id"]: r
+        for r in catalog_from_wikidata(
+            [str(tmp_path / "Q42.json"), str(tmp_path / "Q99.json")]
+        ).take_all()
+    }
+    assert rows["Q42"]["title"] == "Douglas Adams"
+    assert rows["Q42"]["description"] == "author"
+    assert rows["Q42"]["aliases"] == ["D. Adams", "DNA"]
+    assert rows["Q99"]["title"] == "Unknown"  # no en label
+    assert rows["Q99"]["aliases"] == []
