@@ -27,9 +27,11 @@ def entry() -> Any:
     from entitylinking_ray.pipelines.entity_resolution import resolve_entities
     from entitylinking_ray.sources.documents import synthesize_documents
 
-    n_rows = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
-    docs = synthesize_documents(max(200, 2 * n_rows), seed=42)
-    return resolve_entities(docs, EngineConfig())
+    n_docs = max(200, 2 * pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).num_rows)
+    docs = synthesize_documents(n_docs, seed=42)
+    return resolve_entities(docs, EngineConfig(), n_docs_hint=n_docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -102,10 +102,13 @@ def run_bench() -> dict:
     # --- headline: flagship ER ---
     t0 = time.time()
     docs = read_documents(corpus_dir)
+    big = n_docs >= cfg.memo_shuffle_min_docs
     sigs = extract_signatures(docs, cfg).materialize()
-    pairs = candidate_pairs(block_keys(sigs, cfg), cfg).materialize()
+    pairs = candidate_pairs(
+        block_keys(sigs, cfg), cfg, memo_shuffle=big
+    ).materialize()
     n_pairs = pairs.count()
-    edges = score_pairs(pairs, cfg, n_pairs_hint=n_pairs)
+    edges = score_pairs(pairs, cfg, n_pairs_hint=n_pairs, spread=big)
     import pyarrow as pa
 
     nodes = sigs.map_batches(

@@ -50,6 +50,13 @@ class EngineConfig:
     # (measured ~13% on the 255 k-pair headline): the shuffle key is the
     # doc-pair key already in hand and no repartition pass runs.
     memo_shuffle_min_pairs: int = 1_000_000
+    # Doc-count proxy for the same decision when the pair count is not
+    # already in hand: counting raw pairs would force a mid-pipeline
+    # materialize of the pair stream, which measured ~40% slower at the
+    # 16-cpu 200k-doc point (13.9M raw pair rows serialized to the object
+    # store for nothing). Callers that know the corpus size cheaply pass
+    # it; unknown sizes default to the scale-safe memo path.
+    memo_shuffle_min_docs: int = 50_000
 
     # --- blocked catalog linking (hot-key skew control) ---
     # In link_to_catalog_blocked, a first-token ("T:") block key keeps at

@@ -38,17 +38,22 @@ def _nodes_of(sigs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def resolve_entities(
-    docs: ray.data.Dataset, config: EngineConfig | None = None
+    docs: ray.data.Dataset,
+    config: EngineConfig | None = None,
+    n_docs_hint: int | None = None,
 ) -> ray.data.Dataset:
     """documents -> clusters Dataset (doc_id, cluster_id); streaming, no
-    checkpoints. Singletons are preserved (every doc_id appears)."""
+    checkpoints. Singletons are preserved (every doc_id appears).
+
+    ``n_docs_hint``: corpus size when the caller knows it cheaply (parquet
+    metadata, synthesis parameter) — feeds the memo-shuffle/spread policy
+    (cfg.memo_shuffle_min_docs). Unknown sizes keep the lazy pipeline
+    fully streaming and default to the scale-safe memo path."""
     cfg = config or EngineConfig()
+    big = n_docs_hint is None or n_docs_hint >= cfg.memo_shuffle_min_docs
     sigs = extract_signatures(docs, cfg)
-    pair_stats: dict = {}
-    pairs = candidate_pairs(block_keys(sigs, cfg), cfg, stats_out=pair_stats)
-    edges = score_pairs(
-        pairs, cfg, n_pairs_hint=pair_stats.get("n_candidate_pairs")
-    )
+    pairs = candidate_pairs(block_keys(sigs, cfg), cfg, memo_shuffle=big)
+    edges = score_pairs(pairs, cfg, spread=big)
     labels = connected_components(
         edges, nodes=_nodes_of(sigs), config=cfg, assume_unique_nodes=True,
         nodes_cover_endpoints=True,
@@ -191,11 +196,14 @@ def run_checkpointed(
             "signatures", sig_fp,
             lambda: extract_signatures(read_documents(input_path), cfg),
         )
+    # parquet-backed counts are metadata-only — they feed the adaptive
+    # memo-shuffle / repartition decisions without extra execution
+    n_sigs = sigs.count()
+    big = n_sigs >= cfg.memo_shuffle_min_docs
     pairs, fp_p = run_stage(
-        "pairs", f"pairs|{fp_s}", lambda: candidate_pairs(block_keys(sigs, cfg), cfg)
+        "pairs", f"pairs|{fp_s}",
+        lambda: candidate_pairs(block_keys(sigs, cfg), cfg, memo_shuffle=big),
     )
-    # parquet-backed count is metadata-only — feeds the adaptive
-    # repartition decision in score_pairs
     n_pairs = pairs.count()
     edges, fp_e = run_stage(
         "edges", f"edges|{fp_p}",

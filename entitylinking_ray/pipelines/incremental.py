@@ -63,11 +63,8 @@ def incremental_resolve(
     combined = _tag(new_sigs, True).union(_tag(old_signatures, False))
 
     keys = block_keys(combined, cfg)
-    pair_stats: dict = {}
-    pairs = candidate_pairs(keys, cfg, require_flag_col="is_new", stats_out=pair_stats)
-    new_edges = score_pairs(
-        pairs, cfg, n_pairs_hint=pair_stats.get("n_candidate_pairs")
-    )
+    pairs = candidate_pairs(keys, cfg, require_flag_col="is_new")
+    new_edges = score_pairs(pairs, cfg)
 
     # membership edges: every old doc connects to its cluster id (itself a
     # doc id), a spanning contraction of the old clustering

@@ -259,14 +259,19 @@ def score_pairs(
     config: EngineConfig | None = None,
     bm25_stats_ref=None,
     n_pairs_hint: int | None = None,
+    spread: bool | None = None,
 ) -> ray.data.Dataset:
     """Candidate pairs → accepted edges (score >= edge_threshold).
     ``bm25_stats_ref``: optional ``ray.put((df, n_docs, avgdl))`` corpus
     statistics enabling the cfg.w_bm25 fusion term.
-    ``n_pairs_hint``: pair count from ``candidate_pairs(stats_out=...)``
-    (or parquet metadata on the checkpointed path); small inputs skip the
-    block-spreading repartition below."""
+    ``spread`` / ``n_pairs_hint``: whether to repartition the pairs across
+    the pool before scoring — callers pass ``spread`` from the same
+    big-corpus decision as ``candidate_pairs(memo_shuffle=...)``, or a
+    pair count when one is already in hand (parquet metadata / an
+    explicit materialize); with neither, the scale-safe default spreads."""
     cfg = config or EngineConfig()
+    if spread is None:
+        spread = n_pairs_hint is None or n_pairs_hint >= cfg.memo_shuffle_min_pairs
     try:
         import ray
 
@@ -281,7 +286,7 @@ def score_pairs(
     # actors of 24). Split first so every actor gets work — unless the
     # caller's hint says the input is small enough that the repartition
     # pass costs more than the utilization it buys (VERDICT r2 #2).
-    if n_pairs_hint is None or n_pairs_hint >= cfg.memo_shuffle_min_pairs:
+    if spread:
         pairs = pairs.repartition(pool * 3)
     return pairs.map_batches(
         PairScorer,
