@@ -252,3 +252,55 @@ RANKERS = {
     "plackett_luce": fit_plackett_luce,
     "davidson": fit_davidson,
 }
+
+
+def confidence_weighted_blend(
+    rankings: list[dict], w_base: float = 0.7, w_pairwise: float = 0.3
+) -> list[tuple[str, float]]:
+    """A9 — confidence-weighted rank aggregation across overlapping ranked
+    groups with a pairwise win-rate blend (reference semantics:
+    ``e2e/systems/graph_system.py:866-932``).
+
+    ``rankings``: list of ``{"order": [ids best-first], "confidence": c}``.
+    Per group of size n, the item at 0-based rank r contributes
+    ``rank_score * c * c_r`` where ``rank_score = (n - r) / n`` and the
+    item confidence ``c_r`` is ``c`` for the top item and ``0.5 * c``
+    below it (the reference halves confidence for lower ranks); base
+    score = mean contribution over the item's appearances. The pairwise
+    term counts, for every ordered pair in a group, a confidence-weighted
+    win for the higher-ranked item; ``win_rate = wins / comparisons``
+    over all pairs the item participates in. Final strength =
+    ``w_base * base + w_pairwise * win_rate`` (the reference's 0.7/0.3
+    blend), ranked by (strength desc, id asc)."""
+    s_sum: dict[str, float] = {}
+    s_cnt: dict[str, int] = {}
+    w_sum: dict[str, float] = {}
+    c_cnt: dict[str, int] = {}
+    for g in rankings:
+        order = list(g["order"])
+        n = len(order)
+        if n == 0:
+            continue
+        c = float(g.get("confidence", 1.0))
+        for r, cid in enumerate(order):
+            rank_score = (n - r) / n
+            c_r = c if r == 0 else 0.5 * c
+            s_sum[cid] = s_sum.get(cid, 0.0) + rank_score * c * c_r
+            s_cnt[cid] = s_cnt.get(cid, 0) + 1
+            if n > 1:
+                w_sum[cid] = w_sum.get(cid, 0.0) + c * (n - 1 - r)
+                c_cnt[cid] = c_cnt.get(cid, 0) + (n - 1)
+    out = []
+    for cid in sorted(s_sum):
+        base = s_sum[cid] / s_cnt[cid]
+        strength = w_base * base
+        if c_cnt.get(cid):
+            strength += w_pairwise * (w_sum.get(cid, 0.0) / c_cnt[cid])
+        else:
+            strength += w_pairwise * base
+        out.append((cid, strength))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
+
+
+RANKERS["confidence_blend"] = confidence_weighted_blend

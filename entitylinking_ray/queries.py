@@ -553,6 +553,33 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
 
 
+def q_dedup_jaccard(sf_dir: str):
+    """Word-3-gram EXACT-Jaccard near-dedup: MinHash-LSH candidate
+    generation, then exact Jaccard over the sorted-distinct gram-hash
+    sets inside the bucket task (``minhash_dedup(verify="exact")``) —
+    the n-gram Jaccard variant of the dedup family. No SQL oracle (LSH
+    banding is probabilistic candidate generation); the exact-Jaccard
+    kernel and estimate-vs-exact agreement are pinned in pytest."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8, verify="exact")
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dedup over the embeddings table:
+    random-hyperplane multi-probe buckets ship (bucket_key, id) only;
+    vectors move once as packed float32 binary through the two keyed
+    verification joins. Rows-only (hyperplane LSH is not
+    SQL-expressible); recall/exactness pinned in pytest."""
+    from entitylinking_ray.stages.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup(
+        ds, vec_col="embedding", id_col="vec_id", cosine_threshold=0.95
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dedup with a FULL DuckDB oracle: the md5-prefix token
     hash is SQL-replayable, so the oracle recomputes every 64-bit SimHash,
@@ -2427,6 +2454,45 @@ def q_plackett_luce(sf_dir: str):
     )
 
 
+def q_confidence_blend(sf_dir: str):
+    """A9 confidence-weighted rank aggregation across overlapping groups
+    (``e2e/systems/graph_system.py:866-932``): per-bucket user rankings
+    (as in plackett_luce) each carrying a deterministic confidence
+    n/(n+1), aggregated by the reference's confidence-weighted scoring +
+    0.7/0.3 pairwise win-rate blend. Rows-only (iterative-free but the
+    ranking derivation is not SQL-friendly); distributed == in-memory
+    kernel pinned in pytest."""
+    from entitylinking_ray.stages.ranking_dist import confidence_blend_dataset
+
+    def rankings(g: pa.Table) -> pa.Table:
+        g, runs = _bucket_runs(g)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        rows, confs = [], []
+        for s, e in runs:
+            if e - s < 2:
+                continue
+            rows.append(_uid_strings(users[s:e]).tolist())
+            confs.append((e - s) / (e - s + 1.0))
+        return pa.table(
+            {
+                "order": pa.array(rows, pa.list_(pa.string())),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+    ds = _bucket_scores(sf_dir).groupby("hb").map_groups(
+        rankings, batch_format="pyarrow"
+    )
+    ranked = confidence_blend_dataset(ds, order_col="order", conf_col="confidence")
+    return pd.DataFrame(
+        {
+            "user_id": [int(u[1:]) for u, _ in ranked],
+            "rank": np.arange(1, len(ranked) + 1, dtype=np.int64),
+            "strength": [round(s, 6) for _, s in ranked],
+        }
+    )
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_groupby": q_agg_groupby,
@@ -2443,6 +2509,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_embedding": q_dedup_embedding,
     "dedup_simhash": q_dedup_simhash,
     "jaro_winkler": q_jaro_winkler,
     "levenshtein": q_levenshtein,
@@ -2473,6 +2541,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_decode_real": q_media_decode_real,
     "plackett_luce": q_plackett_luce,
+    "confidence_blend": q_confidence_blend,
     "er_f1": q_er_f1,
     "incremental_er": q_incremental_er,
     "er_clusters": q_er_clusters,

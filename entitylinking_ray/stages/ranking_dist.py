@@ -178,3 +178,77 @@ def fit_plackett_luce_dataset(
         p = new_p
     order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
     return [(ids[i], float(p[i])) for i in order]
+
+
+def confidence_blend_dataset(
+    rankings,
+    order_col: str = "order",
+    conf_col: str = "confidence",
+    w_base: float = 0.7,
+    w_pairwise: float = 0.3,
+) -> list[tuple[str, float]]:
+    """Distributed A9 confidence-weighted blend
+    (``e2e/systems/graph_system.py:866-932``): per-batch VECTORIZED
+    sufficient statistics (flatten the ranking lists, ranks by run
+    arithmetic — no Python loop over items) -> one ``groupby(id)`` sum ->
+    driver-side blend over O(candidates) rows. Exactly equal to
+    ``functions.ranking.confidence_weighted_blend`` (pytest)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(order_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(b) == 0 or len(pc.list_flatten(col)) == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "s_sum": pa.array([], pa.float64()),
+                    "s_cnt": pa.array([], pa.int64()),
+                    "w_sum": pa.array([], pa.float64()),
+                    "c_cnt": pa.array([], pa.int64()),
+                }
+            )
+        flat = pc.list_flatten(col)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        conf = b.column(conf_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        reps = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        n = lens[reps].astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        r = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        c = conf[reps]
+        rank_score = (n - r) / n
+        c_r = np.where(r == 0, c, 0.5 * c)
+        return pa.table(
+            {
+                "id": flat,
+                "s_sum": pa.array(rank_score * c * c_r, pa.float64()),
+                "s_cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+                "w_sum": pa.array(c * (n - 1 - r), pa.float64()),
+                "c_cnt": pa.array((n - 1).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        rankings.map_batches(partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(
+            Sum("s_sum", alias_name="s_sum"),
+            Sum("s_cnt", alias_name="s_cnt"),
+            Sum("w_sum", alias_name="w_sum"),
+            Sum("c_cnt", alias_name="c_cnt"),
+        )
+    )
+    out = []
+    for row in agg.take_all():
+        base = row["s_sum"] / row["s_cnt"]
+        if row["c_cnt"]:
+            strength = w_base * base + w_pairwise * (row["w_sum"] / row["c_cnt"])
+        else:
+            strength = w_base * base + w_pairwise * base
+        out.append((row["id"], float(strength)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out

@@ -138,3 +138,54 @@ def test_distributed_fits_equal_local(ray_session):
     pairs = ray.data.from_arrow(pa.table({"winner": rows_w, "loser": rows_l}))
     got_bt = fit_btl_dataset(pairs)
     assert got_bt == want_bt
+
+
+def test_confidence_blend_distributed_equals_local(ray_session):
+    """A9 confidence-weighted blend: the distributed sufficient-stats
+    path equals the in-memory kernel exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray.functions.ranking import confidence_weighted_blend
+    from entitylinking_ray.stages.ranking_dist import confidence_blend_dataset
+
+    rng = np.random.default_rng(7)
+    ids = [f"c{i}" for i in range(12)]
+    groups = []
+    for _ in range(40):
+        k = int(rng.integers(2, 6))
+        order = list(rng.permutation(ids)[:k])
+        groups.append({"order": order, "confidence": float(rng.uniform(0.3, 1.0))})
+    local = confidence_weighted_blend(groups)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "order": pa.array([g["order"] for g in groups], pa.list_(pa.string())),
+                "confidence": pa.array([g["confidence"] for g in groups], pa.float64()),
+            }
+        )
+    ).repartition(4)
+    dist = confidence_blend_dataset(ds)
+    assert [i for i, _ in dist] == [i for i, _ in local]
+    for (ia, sa), (ib, sb) in zip(dist, local):
+        assert ia == ib and abs(sa - sb) < 1e-12
+
+
+def test_confidence_blend_semantics():
+    """Reference semantics spot check: top rank keeps full confidence,
+    lower ranks halve it; pairwise term rewards consistent winners."""
+    from entitylinking_ray.functions.ranking import confidence_weighted_blend
+
+    out = dict(confidence_weighted_blend(
+        [
+            {"order": ["a", "b"], "confidence": 1.0},
+            {"order": ["a", "c"], "confidence": 1.0},
+        ]
+    ))
+    # a: base = mean(1.0*1.0*1.0) = 1.0 twice -> 1.0; win_rate = 2/2 = 1
+    assert abs(out["a"] - 1.0) < 1e-12
+    # b: rank 1 of 2 -> rank_score 0.5, c_r 0.5 -> 0.25; win_rate 0
+    assert abs(out["b"] - 0.7 * 0.25) < 1e-12
+    assert out["a"] > out["c"] == out["b"]
