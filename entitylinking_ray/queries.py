@@ -1078,6 +1078,103 @@ SELECT n AS user_id, min(m) AS component FROM reach GROUP BY n
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p90/p99 of event value per
+    event_type) — the percentile statistic every 100-TB pipeline needs.
+    Engine shape: hash-bucket the group key, ONE Python call per bucket,
+    sort by (key, value) inside and pick index ceil(q*n)-1 per run
+    (DuckDB's quantile_disc element — both engines return the same
+    actual element, so float equality is bit-exact). Groups need their
+    full value set co-located, so the groupby shuffle is the required
+    minimum; no driver materialization."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    nb = _n_buckets()
+    hashed = ds.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b["event_type"].to_numpy(zero_copy_only=False), nb)
+        ),
+        batch_format="pyarrow",
+    )
+    qs = (0.5, 0.9, 0.99)
+
+    def quant(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
+        )
+        g = g.take(order)
+        keys = g["event_type"].to_numpy(zero_copy_only=False)
+        vals = g["value"].to_numpy(zero_copy_only=False)
+        out_key, cols = [], {f"p{int(q*100)}": [] for q in qs}
+        for s, e in _group_slices(keys):
+            n = e - s
+            out_key.append(keys[s])
+            for q in qs:
+                cols[f"p{int(q*100)}"].append(vals[s + int(np.ceil(q * n)) - 1])
+        t = {"event_type": pa.array(out_key, pa.string())}
+        for name, v in cols.items():
+            t[name] = pa.array(np.asarray(v, dtype=np.float64), pa.float64())
+        return pa.table(t)
+
+    return hashed.groupby("hb").map_groups(quant, batch_format="pyarrow")
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash-split sampling (train/test assignment — the
+    split every training pipeline needs to be reproducible and
+    cluster-order-independent): md5 of the doc id buckets each row into
+    0..99; bucket < 20 -> 'test' else 'train'. Pure per-row map, no
+    shuffle; SQL-replayable md5 rule, fully oracled."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(
+                    np.where(buckets < 20, "test", "train"), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+            % 100 AS BIGINT) AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                 % 100 < 20
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + centroids
 # ---------------------------------------------------------------------------
@@ -2518,6 +2615,8 @@ QUERIES = {
     "window_hopping": q_window_hopping,
     "approx_distinct": q_approx_distinct,
     "sessionize": q_sessionize,
+    "quantiles": q_quantiles,
+    "sample_hash": q_sample_hash,
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
     "embed_centroids": q_embed_centroids,
@@ -2568,6 +2667,8 @@ ORACLE_SQL = {
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "sessionize": SQL_SESSIONIZE,
+    "quantiles": SQL_QUANTILES,
+    "sample_hash": SQL_SAMPLE_HASH,
     "unionfind_events": SQL_UNIONFIND_EVENTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embed_centroids": SQL_EMBED_CENTROIDS,

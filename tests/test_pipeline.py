@@ -206,3 +206,30 @@ def test_partition_granular_resume(ray_session, docs_tbl, tmp_path):
         for r in ray.data.read_parquet(s2["clusters_path"]).take_all()
     )
     assert first == second
+
+
+def test_manifest_prunes_stale_partitions(tmp_path):
+    """A re-run with fewer partitions must drop stale partitions_done
+    entries and their directories, so partition_rows_total reflects only
+    the current chunking (ADVICE r2)."""
+    import os
+
+    from entitylinking_ray.state.manifest import Manifest
+
+    man = Manifest(str(tmp_path))
+    for i in range(4):
+        tmp = man.open_partition_tmp("sig", i)
+        with open(os.path.join(tmp, "empty.parquet"), "w") as f:
+            f.write("")
+        man.commit_partition("sig", i, f"fp{i}", rows=10, wall_sec=0.1)
+    assert man.partition_rows_total("sig") == 40
+
+    # new run with only 2 partitions: prune indices >= 2
+    man2 = Manifest(str(tmp_path))
+    man2.prune_partitions("sig", 2)
+    assert man2.partition_rows_total("sig") == 20
+    assert not os.path.isdir(man2.partition_dir("sig", 2))
+    assert not os.path.isdir(man2.partition_dir("sig", 3))
+    assert os.path.isdir(man2.partition_dir("sig", 0))
+    # persisted: a fresh Manifest sees the pruned state
+    assert Manifest(str(tmp_path)).partition_rows_total("sig") == 20
