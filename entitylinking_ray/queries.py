@@ -1078,6 +1078,162 @@ SELECT n AS user_id, min(m) AS component FROM reach GROUP BY n
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (the temporal lookup Ray Data lacks natively): each
+    event is matched to the user's most recent order at-or-before the
+    event timestamp; ties on order date resolve to the greatest orderkey.
+    Engine: `stages/temporal.asof_join` — both sides hash-co-partitioned
+    by user key (one narrow shuffle each), in-bucket single-vector-pass
+    merge (sort + maximum.accumulate forward fill), no per-row Python.
+    Mirrors the reference's doc-context temporal lookup need
+    (e2e pipelines join mentions to the latest snapshot)."""
+    from entitylinking_ray.stages.temporal import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    od = od.map_batches(
+        lambda b: b.rename_columns(
+            ["asof_orderkey", "o_custkey", "o_orderdate", "asof_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        ev,
+        od,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["asof_orderkey", "asof_totalprice"],
+        tiebreak="asof_orderkey",
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT event_id, asof_orderkey, asof_totalprice FROM (
+  SELECT e.event_id,
+         o.o_orderkey AS asof_orderkey,
+         o.o_totalprice AS asof_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Banded range join: every (event, prior-event) pair of the same
+    user where the prior event fell inside the trailing 1-hour window
+    ending at the event (ts - 1h < prior_ts <= ts; self-pairs included,
+    making the rule SQL-replayable) — the co-occurrence /
+    attribution-window join of every event pipeline. Engine:
+    `stages/temporal.range_join` — both sides hash-co-partitioned by
+    user (narrow id+ts payload), per-key vectorized searchsorted range
+    lookup + repeat/offset pair expansion in-bucket."""
+    from entitylinking_ray.stages.temporal import range_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    prior = ev.map_batches(
+        lambda b: b.rename_columns(["prior_event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    return range_join(
+        ev,
+        prior,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="user_id",
+        right_ts="ts",
+        left_cols=["event_id"],
+        right_cols=["prior_event_id"],
+        width_us=3600 * 1_000_000,
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT a.event_id, b.event_id AS prior_event_id
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts <= a.ts
+ AND b.ts > a.ts - INTERVAL 1 HOUR
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per event_type, the 50 events
+    with the smallest md5(event_id) — order-independent, reproducible
+    across cluster sizes (the per-stratum cap every training-data
+    pipeline uses to balance classes). Engine: hash-bucket the stratum
+    key, one vectorized lexsort + run-detected head per bucket."""
+    import hashlib
+
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+
+    n_per = 50
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    )
+    nb = _n_buckets()
+    hashed = ds.map_batches(
+        lambda b: b.append_column(
+            "hb",
+            _bucket_of(b["event_type"].to_numpy(zero_copy_only=False), nb),
+        ).append_column(
+            "h",
+            pa.array(
+                [
+                    hashlib.md5(str(i).encode()).hexdigest()
+                    for i in b["event_id"].to_pylist()
+                ],
+                pa.string(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def head_per_stratum(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("event_type", "ascending"),
+                ("h", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        keys = g["event_type"].to_numpy(zero_copy_only=False)
+        take: list[int] = []
+        for s, e in _group_slices(keys):
+            take.extend(range(s, min(e, s + n_per)))
+        return g.select(["event_id", "event_type"]).take(pa.array(take, pa.int64()))
+
+    return hashed.groupby("hb").map_groups(head_per_stratum, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 50
+"""
+
+
 def q_quantiles(sf_dir: str):
     """Exact per-group quantiles (p50/p90/p99 of event value per
     event_type) — the percentile statistic every 100-TB pipeline needs.
@@ -2617,6 +2773,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "quantiles": q_quantiles,
     "sample_hash": q_sample_hash,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "stratified_sample": q_stratified_sample,
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
     "embed_centroids": q_embed_centroids,
@@ -2669,6 +2828,9 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unionfind_events": SQL_UNIONFIND_EVENTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embed_centroids": SQL_EMBED_CENTROIDS,
