@@ -321,6 +321,41 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Semi join through the scale path: a distributed Bloom bitmap of
+    the right-side keys (per-block partials OR-merged through the
+    aggregate tree, broadcast once) prunes the left side without any
+    shuffle of the big table, then the tiny surviving set pays an exact
+    hash-co-partitioned in-bucket verify — exact result, bloom-bounded
+    shuffle volume (`stages/joins.semi_join_bloom`). Same answer as the
+    broadcast-set `semi_join`, built for the regime where the right side
+    no longer fits as an exact set on every worker."""
+    from entitylinking_ray.stages.joins import semi_join_bloom
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'O'")
+    left = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    n_hint = max(64, right.count())
+    return semi_join_bloom(
+        left,
+        right,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        left_cols=["c_custkey", "c_name"],
+        n_items_hint=n_hint,
+        fpp=0.01,
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
 def q_topk(sf_dir: str):
     """K1: global top-k with deterministic tie-break."""
     ds = ray.data.read_parquet(
@@ -2776,6 +2811,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "stratified_sample": q_stratified_sample,
+    "bloom_semi_join": q_bloom_semi_join,
     "unionfind_events": q_unionfind_events,
     "knn_bruteforce": q_knn_bruteforce,
     "embed_centroids": q_embed_centroids,
@@ -2831,6 +2867,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "unionfind_events": SQL_UNIONFIND_EVENTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embed_centroids": SQL_EMBED_CENTROIDS,

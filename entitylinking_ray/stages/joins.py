@@ -1,0 +1,114 @@
+"""Bloom-accelerated exact semi join.
+
+The plain broadcast semi join (`queries.q_semi_join`) ships the whole
+right-side key SET to every task — fine while the set fits comfortably
+in worker heap, wrong when the right side is itself huge. This stage is
+the scale path: a distributed Bloom bitmap (O(1.2 bytes/key at 1 % fpp,
+OR-merged through the aggregate tree — `functions/bloom.py`) broadcast
+once prunes the left side to members-plus-~fpp false positives WITHOUT a
+shuffle of the big side, and only the tiny surviving set pays the exact
+in-bucket verify (both sides hash-co-partitioned by key, vectorized
+``np.isin`` per bucket). Result is EXACT: the bloom stage has no false
+negatives and the verify removes its false positives.
+
+Partitioning assumption: the verify shuffle moves only bloom survivors
+(≈ |matches| rows) and the right key column — never the full left side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from entitylinking_ray.functions.bloom import bloom_build, bloom_contains
+from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+_SIDE = "__side"
+_HB = "__hb"
+
+
+def semi_join_bloom(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    n_items_hint: int,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """Rows of ``left`` (projected to ``left_cols``) whose ``left_key``
+    appears in ``right[right_key]``. Exact semantics, bloom-pruned
+    shuffle volume. ``n_items_hint`` sizes the bitmap (an overestimate
+    only wastes bits; an underestimate only raises the pre-verify fpp)."""
+    words, k = bloom_build(right, right_key, n_items_hint=n_items_hint, fpp=fpp)
+    wref = ray.put(words)
+    nb = _n_buckets()
+
+    class BloomPrune:
+        def __init__(self):
+            self.words = ray.get(wref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vals = b.column(left_key).to_numpy(zero_copy_only=False)
+            keep = bloom_contains(self.words, vals, k)
+            return b.filter(pa.array(keep))
+
+    def _pa_type(t) -> pa.DataType:
+        # ray.data.Schema reports numpy dtypes for pandas-backed datasets
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    carry = [c for c in left_cols if c != left_key]
+    lsch = left.schema()
+    ltypes = {n: _pa_type(t) for n, t in zip(lsch.names, lsch.types)}
+
+    survivors = left.select_columns(list(dict.fromkeys([left_key, *left_cols])))
+    survivors = survivors.map_batches(BloomPrune, batch_format="pyarrow", concurrency=(1, 4))
+
+    def proj_left(b: pa.Table) -> pa.Table:
+        cols = {left_key: b.column(left_key)}
+        for c in carry:
+            cols[c] = b.column(c)
+        cols[_SIDE] = pa.array(np.ones(len(b), dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column(
+            _HB, _bucket_of(b.column(left_key).to_numpy(zero_copy_only=False), nb)
+        )
+
+    def proj_right(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column(right_key), ltypes[left_key])
+        cols = {left_key: key}
+        for c in carry:
+            cols[c] = pa.nulls(len(b), ltypes[c])
+        cols[_SIDE] = pa.array(np.zeros(len(b), dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column(
+            _HB, _bucket_of(key.to_numpy(zero_copy_only=False), nb)
+        )
+
+    order = [left_key, *carry, _SIDE, _HB]
+    merged = survivors.map_batches(proj_left, batch_format="pyarrow").select_columns(
+        order
+    ).union(
+        right.select_columns([right_key])
+        .map_batches(proj_right, batch_format="pyarrow")
+        .select_columns(order)
+    )
+
+    def verify(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        keys = g.column(left_key).to_numpy(zero_copy_only=False)
+        is_left = side == 1
+        rkeys = keys[~is_left]
+        keep = is_left & np.isin(keys, rkeys)
+        return g.filter(pa.array(keep)).select(left_cols)
+
+    return merged.groupby(_HB).map_groups(verify, batch_format="pyarrow")
