@@ -1322,6 +1322,70 @@ FROM events GROUP BY event_type
 """
 
 
+def q_quantiles_sketch(sf_dir: str):
+    """Approximate per-group quantiles via the mergeable centroid-
+    histogram sketch (`functions/qsketch`, Ben-Haim & Tom-Tov style):
+    each block compresses its per-group values to <=256 (centroid,
+    weight) pairs map-side, so the groupby shuffle moves O(groups x 4 KiB)
+    regardless of row count — the scale path where `quantiles`' exact
+    co-location of every group value stops fitting. Rows-only contract
+    (approximate by design); accuracy pinned <1 % rank error in
+    tests/test_qsketch. Group cardinality here is tiny, so the per-group
+    merge call is not the per-key-dispatch anti-pattern."""
+    from entitylinking_ray.functions.qsketch import (
+        compress_values,
+        merge_sketches,
+        sketch_quantile,
+    )
+    from entitylinking_ray.stages.blocking import _group_slices
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("event_type", "ascending"), ("value", "ascending")]
+        )
+        b = b.take(order)
+        keys = b["event_type"].to_numpy(zero_copy_only=False)
+        vals = b["value"].to_numpy(zero_copy_only=False)
+        out_k, out_c, out_w = [], [], []
+        for s, e in _group_slices(keys):
+            c, w = compress_values(vals[s:e])
+            out_k.append(keys[s])
+            out_c.append(c.tolist())
+            out_w.append(w.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_k, pa.string()),
+                "centroids": pa.array(out_c, pa.list_(pa.float64())),
+                "weights": pa.array(out_w, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        c = np.empty(0)
+        w = np.empty(0)
+        for cc, ww in zip(g["centroids"].to_pylist(), g["weights"].to_pylist()):
+            c, w = merge_sketches(c, w, np.asarray(cc), np.asarray(ww))
+        p = sketch_quantile(c, w, (0.5, 0.9, 0.99))
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+                "p50": pa.array([p[0]], pa.float64()),
+                "p90": pa.array([p[1]], pa.float64()),
+                "p99": pa.array([p[2]], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
 def q_sample_hash(sf_dir: str):
     """Deterministic hash-split sampling (train/test assignment — the
     split every training pipeline needs to be reproducible and
@@ -2807,6 +2871,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "sessionize": q_sessionize,
     "quantiles": q_quantiles,
+    "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
