@@ -222,11 +222,25 @@ def q_join_large(sf_dir: str):
     )
 
     def rev(b: pa.Table) -> pa.Table:
+        # map-side combiner: partial-sum revenue per orderkey inside the
+        # block (sort + reduceat over exact fixed-point ints) BEFORE the
+        # join — the join shuffle then moves ~orders rows, not lineitems;
+        # cross-block duplicates of an orderkey are folded by the final
+        # o_custkey aggregate (integer Sum is associative, so exact)
         r = b["l_extendedprice"].to_numpy(zero_copy_only=False) * (
             1.0 - b["l_discount"].to_numpy(zero_copy_only=False)
         )
+        rc = _fixed(r, 10000).to_numpy(zero_copy_only=False)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, rc = keys[order], rc[order]
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        sums = np.add.reduceat(rc, starts)
         return pa.table(
-            {"l_orderkey": b["l_orderkey"], "rev_c": _fixed(r, 10000)}
+            {
+                "l_orderkey": pa.array(keys[starts], pa.int64()),
+                "rev_c": pa.array(sums, pa.int64()),
+            }
         )
 
     import pyarrow.parquet as pq
