@@ -146,3 +146,168 @@ def approx_distinct(
         lambda b: _pa.table({"sketch": b.column("sketch")}), batch_format="pyarrow"
     ).repartition(1)
     return merged.map_batches(finish_all, batch_format="pyarrow", batch_size=1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+# ---------------------------------------------------------------------------
+#
+# The boilerplate/frequent-token question every training-data pipeline
+# asks ("which n-grams appear > N times across the corpus?") is exact-
+# answerable without shuffling the full distinct-token set: a bounded
+# Misra-Gries summary per block (capacity k), merged associatively, then
+# ONE exact counting pass restricted to the <=k surviving candidates.
+# Invariants (Misra & Gries 1982): counter[t] <= true_count(t) <=
+# counter[t] + delta, where delta is the summary's total decrement; if
+# delta < min_count every item with true_count >= min_count is still in
+# the summary, so candidates = summary covers the answer and the verify
+# pass makes the final counts EXACT (hence SQL-oracle-able).
+
+
+def mg_fold(
+    counter: dict, delta: int, tokens, counts, k: int
+) -> tuple[dict, int]:
+    """Fold pre-aggregated (token, count) pairs into a Misra-Gries
+    summary of capacity ``k``. ``tokens``/``counts`` come from a
+    vectorized per-batch ``value_counts`` — the Python loop here is over
+    DISTINCT tokens of the batch, not rows. Returns (counter, delta)."""
+    for t, c in zip(tokens, counts):
+        counter[t] = counter.get(t, 0) + int(c)
+    if len(counter) > k:
+        vals = sorted(counter.values())
+        d = vals[len(vals) - k - 1]  # (k+1)-th largest value
+        counter = {t: c - d for t, c in counter.items() if c > d}
+        delta += d
+    return counter, delta
+
+
+def mg_merge(
+    a: dict, da: int, b: dict, db: int, k: int
+) -> tuple[dict, int]:
+    """Merge two summaries: counter-wise sum, then one batched decrement
+    back to capacity ``k``. Deltas add (each bounds its side's
+    undercount; the trim adds its own)."""
+    merged = dict(a)
+    for t, c in b.items():
+        merged[t] = merged.get(t, 0) + c
+    out, d = mg_fold({}, da + db, list(merged.keys()), list(merged.values()), k)
+    # mg_fold with an empty counter re-applies the capacity trim and
+    # accumulates its decrement into the combined delta
+    return out, d
+
+
+def heavy_hitters(
+    ds,
+    value_col: str,
+    min_count: int,
+    k: int = 4096,
+    tokenize: bool = False,
+):
+    """EXACT frequent-items over a Ray Dataset without an all-distinct
+    shuffle. Two passes:
+
+    1. bounded Misra-Gries summary per block (vectorized ``value_counts``
+       feeds ``mg_fold``), merged in two levels (256 partials per merge
+       task, then one final merge) — the driver sees ONE summary row of
+       <= k entries, never the distinct-value set;
+    2. exact counts restricted to the surviving candidates: the candidate
+       set is broadcast once (``ray.put``), each block emits partial
+       counts for candidates only, and a tiny ``groupby(value).Sum``
+       finishes — output is every value with true count >= ``min_count``.
+
+    Exactness: if the merged summary's decrement total ``delta`` <
+    ``min_count`` the MG bound guarantees no qualifying value was
+    dropped; otherwise (k too small for the stream) the function falls
+    back to the exact full groupby and says so in the plan. Either way
+    the result equals the exact SQL answer. The input is read twice —
+    the price of any two-pass sketch+verify algorithm; pass 1's shuffle
+    is O(blocks x k), pass 2's is O(candidates).
+
+    With ``tokenize=True`` the column is whitespace-tokenized after
+    ``textnorm.normalize`` (empty tokens dropped), matching the SQL twin
+    ``string_split(lower(trim(regexp_replace(col,'\\s+',' ','g'))),' ')``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from entitylinking_ray.functions.textnorm import normalize_arrow
+
+    def _values_of(b: pa.Table) -> pa.Array:
+        col = b.column(value_col)
+        if not tokenize:
+            return pc.cast(col.combine_chunks(), pa.string())
+        toks = pc.list_flatten(
+            pc.split_pattern(normalize_arrow(col), " ")
+        )
+        return toks.filter(pc.not_equal(toks, ""))
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_values_of(b))
+        counter, delta = mg_fold(
+            {}, 0, vc.field("values").to_pylist(),
+            vc.field("counts").to_numpy(zero_copy_only=False), k,
+        )
+        return pa.table(
+            {
+                "tokens": pa.array([list(counter.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(counter.values())], pa.list_(pa.int64())),
+                "delta": pa.array([delta], pa.int64()),
+            }
+        )
+
+    def merge_rows(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        dacc = 0
+        for toks, cnts, d in zip(
+            b["tokens"].to_pylist(), b["counts"].to_pylist(),
+            b["delta"].to_pylist(),
+        ):
+            acc, dacc = mg_merge(acc, dacc, dict(zip(toks, cnts)), d, k)
+        return pa.table(
+            {
+                "tokens": pa.array([list(acc.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(acc.values())], pa.list_(pa.int64())),
+                "delta": pa.array([dacc], pa.int64()),
+            }
+        )
+
+    summary = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(merge_rows, batch_format="pyarrow", batch_size=256)
+        .repartition(1)
+        .map_batches(merge_rows, batch_format="pyarrow", batch_size=1 << 30)
+        .take(1)[0]
+    )
+    delta = int(summary["delta"])
+    cand = sorted(
+        t
+        for t, c in zip(summary["tokens"], summary["counts"])
+        if c + delta >= min_count
+    )
+    # delta >= min_count means k was too small for this stream's skew:
+    # the MG bound can no longer certify coverage, so pass 2 counts ALL
+    # values (exact full groupby) instead of the candidate set
+    cand_ref = None if delta >= min_count else ray.put(pa.array(cand, pa.string()))
+
+    from ray.data.aggregate import Sum
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_values_of(b))
+        vals, cnts = vc.field("values"), pc.cast(vc.field("counts"), pa.int64())
+        if cand_ref is not None:
+            # one object-store read per task (zero-copy Arrow), not per batch
+            keep = pc.is_in(vals, value_set=ray.get(cand_ref))
+            vals, cnts = vals.filter(keep), cnts.filter(keep)
+        return pa.table({"value": vals, "n": cnts})
+
+    counted = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+        batch_format="pyarrow",
+    )

@@ -370,6 +370,62 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
 """
 
 
+def q_outer_join(sf_dir: str):
+    """Left-outer large join: every customer with their order count,
+    zero-order customers included. Orders are pre-counted per custkey
+    map-side (vectorized value_counts + a small groupby Sum), so the
+    outer-join shuffle moves one row per ordering customer, not one per
+    order; the outer side's nulls become 0 vectorized after the join."""
+    from entitylinking_ray.util import num_join_partitions, sanitize_blocks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b["o_custkey"].combine_chunks())
+        return pa.table(
+            {
+                "o_custkey": vc.field("values"),
+                "n_part": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        orders.map_batches(cnt, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    )
+    import pyarrow.parquet as pq
+
+    c_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    j = cust.join(
+        sanitize_blocks(counts),
+        join_type="left_outer",
+        num_partitions=num_join_partitions(c_rows),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return j.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "n_orders": pc.fill_null(b["n_orders"], 0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT c_custkey, c_name, CAST(count(o_custkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 def q_topk(sf_dir: str):
     """K1: global top-k with deterministic tie-break."""
     ds = ray.data.read_parquet(
@@ -858,6 +914,28 @@ SQL_WINDOW_HOURLY = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, {_sql_fixed_sum("value", 100, "sum_value")}
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT frequent tokens over documents.text without an all-distinct
+    shuffle (functions/sketch.heavy_hitters): a bounded Misra-Gries
+    summary per block is merged to <= k candidates, then one exact
+    counting pass restricted to the broadcast candidate set. The MG
+    delta bound certifies no qualifying token was dropped, so the
+    result equals the exact SQL answer while the shuffle stays
+    O(blocks x k) + O(candidates) — at 100 TB the distinct-token set
+    never moves, only the k-entry summaries and the survivors do."""
+    from entitylinking_ray.functions.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(ds, "text", min_count=50, k=4096, tokenize=True)
+
+
+SQL_HEAVY_HITTERS = f"""
+SELECT tok AS value, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+WHERE tok <> '' GROUP BY tok HAVING count(*) >= 50
 """
 
 
@@ -2866,6 +2944,7 @@ QUERIES = {
     "join_large": q_join_large,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "outer_join": q_outer_join,
     "topk": q_topk,
     "group_topk": q_group_topk,
     "distinct": q_distinct,
@@ -2883,6 +2962,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "window_hopping": q_window_hopping,
     "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "sessionize": q_sessionize,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
@@ -2928,6 +3008,8 @@ ORACLE_SQL = {
     "join_large": SQL_JOIN_LARGE,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
+    "outer_join": SQL_OUTER_JOIN,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "topk": SQL_TOPK,
     "group_topk": SQL_GROUP_TOPK,
     "distinct": SQL_DISTINCT,

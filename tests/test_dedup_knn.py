@@ -242,3 +242,62 @@ def test_ivf_knn_recall(ray_session):
     again = ivf_knn(ds, queries, k=10, n_lists=16, n_probe=4, id_col="vec_id").take_all()
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(key, approx)) == sorted(map(key, again))
+
+
+def test_misra_gries_kernel():
+    """MG fold/merge invariants: counter[t] <= true <= counter[t]+delta,
+    and merge(a,b) satisfies the same bound for the concatenated stream."""
+    import numpy as np
+
+    from entitylinking_ray.functions.sketch import mg_fold, mg_merge
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream over 500 symbols, two halves folded separately
+    stream = [f"t{int(v)}" for v in rng.zipf(1.3, size=20000) if v < 500]
+    half = len(stream) // 2
+    import collections
+
+    true = collections.Counter(stream)
+    k = 64
+    a, da = {}, 0
+    ca = collections.Counter(stream[:half])
+    a, da = mg_fold(a, da, list(ca.keys()), list(ca.values()), k)
+    b, db = {}, 0
+    cb = collections.Counter(stream[half:])
+    b, db = mg_fold(b, db, list(cb.keys()), list(cb.values()), k)
+    m, dm = mg_merge(a, da, b, db, k)
+    assert len(m) <= k
+    for t, c in m.items():
+        assert c <= true[t] <= c + dm
+    # every item with true count > dm must still be present
+    for t, c in true.items():
+        if c > dm:
+            assert t in m
+
+
+def test_heavy_hitters_exact_vs_duckdb(ray_session):
+    """heavy_hitters == the exact SQL answer on testdata documents,
+    on BOTH the certified candidate path (k large) and the fallback
+    full-count path (k tiny -> delta >= min_count)."""
+    import duckdb
+
+    import ray.data
+
+    from entitylinking_ray.functions.sketch import heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    exact = dict(
+        duckdb.sql(
+            "SELECT tok, count(*) FROM (SELECT unnest(string_split(lower(trim("
+            f"regexp_replace(text,'\\s+',' ','g'))),' ')) AS tok FROM "
+            f"read_parquet('{sf}/documents.parquet')) WHERE tok<>'' "
+            "GROUP BY tok HAVING count(*) >= 50"
+        ).fetchall()
+    )
+    for k in (4096, 4):  # certified path, then forced fallback
+        ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        got = {
+            r["value"]: r["n"]
+            for r in heavy_hitters(ds, "text", min_count=50, k=k, tokenize=True).take_all()
+        }
+        assert got == exact, f"k={k}"
