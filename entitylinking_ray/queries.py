@@ -1074,6 +1074,154 @@ FROM (
 """
 
 
+def q_rolling_sum(sf_dir: str):
+    """Trailing 3-event rolling sum of value per user (ordered by ts,
+    event_id). Same shuffle shape as sessionize: groupby a HASH BUCKET
+    of user_id, one vectorized pass per bucket — sort, fixed-point
+    cents, grouped shift-and-add (no per-key Python dispatch, no
+    per-row loop). Fixed-point keeps the engine bit-identical to the
+    SQL window twin."""
+    from entitylinking_ray.stages.blocking import _n_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    nb = _n_buckets()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_hb"] = (
+            pd.util.hash_array(b["user_id"].to_numpy(), categorize=False)
+            % np.uint64(nb)
+        ).astype("int32")
+        return b
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"event_id": [], "user_id": [], "roll_sum": []})
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = pd.Series(g["user_id"].to_numpy())
+        cents = pd.Series(np.round(g["value"].to_numpy() * 100).astype(np.int64))
+        same1 = uid.eq(uid.shift(1))
+        same2 = uid.eq(uid.shift(2))
+        total = (
+            cents
+            + cents.shift(1).where(same1, 0).astype(np.int64)
+            + cents.shift(2).where(same2, 0).astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "roll_sum": total.to_numpy() / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(roll_bucket, batch_format="pandas")
+    )
+
+
+SQL_ROLLING_SUM = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       / CAST(100 AS DOUBLE) AS roll_sum
+FROM events
+"""
+
+
+def q_event_funnel(sf_dir: str):
+    """Per-user funnel: count of view -> purchase IMMEDIATE transitions
+    within 10 minutes (the strictly next event in the user's ordered
+    stream). Bucketed per-user pass: sort, grouped shift(-1) for the
+    next event's type/ts, vectorized flag, per-user sum inside the
+    bucket — the sequence-pattern primitive (lead/lag) expressed
+    without per-key dispatch."""
+    from entitylinking_ray.stages.blocking import _n_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    nb = _n_buckets()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_hb"] = (
+            pd.util.hash_array(b["user_id"].to_numpy(), categorize=False)
+            % np.uint64(nb)
+        ).astype("int32")
+        return b
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": [], "n_funnel": []})
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = pd.Series(g["user_id"].to_numpy())
+        same_next = uid.eq(uid.shift(-1))
+        et = g["event_type"]
+        nxt_type = et.shift(-1)
+        gap_ok = (g["ts"].shift(-1) - g["ts"]) <= pd.Timedelta(minutes=10)
+        flag = (
+            et.eq("view") & nxt_type.eq("purchase") & same_next & gap_ok
+        ).astype("int64")
+        out = flag.groupby(uid).sum().rename("n_funnel").reset_index()
+        out.columns = ["user_id", "n_funnel"]
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENT_FUNNEL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' AND nxt_type = 'purchase'
+                      AND nxt_ts - ts <= INTERVAL 10 MINUTE
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+FROM (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER w AS nxt_type,
+         lead(ts) OVER w AS nxt_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+"""
+
+
+def q_set_overlap_join(sf_dir: str):
+    """EXACT set-similarity self-join on documents: every doc pair whose
+    distinct-token sets share >= 30 tokens, via prefix filtering
+    (stages/setsim, Vernica et al. SIGMOD'10 shape): broadcast df
+    table, rarest-(n-T+1) prefix postings, in-bucket exact
+    ``intersect1d`` verify, pair-key dedup — never the all-pairs cross
+    product the SQL twin runs."""
+    from entitylinking_ray.stages.setsim import set_overlap_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return set_overlap_join(ds, "text", "doc_id", min_overlap=30)
+
+
+SQL_SET_OVERLAP_JOIN = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS overlap
+FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+WHERE a.tok <> ''
+GROUP BY 1, 2 HAVING count(*) >= 30
+"""
+
+
 def q_unionfind_events(sf_dir: str):
     """Distributed union-find with a recursive-SQL oracle: users are
     connected when they co-occur in the same (event_type, hour) bucket;
@@ -2964,6 +3112,9 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
     "sessionize": q_sessionize,
+    "rolling_sum": q_rolling_sum,
+    "event_funnel": q_event_funnel,
+    "set_overlap_join": q_set_overlap_join,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3023,6 +3174,9 @@ ORACLE_SQL = {
     "window_hourly": SQL_WINDOW_HOURLY,
     "window_hopping": SQL_WINDOW_HOPPING,
     "sessionize": SQL_SESSIONIZE,
+    "rolling_sum": SQL_ROLLING_SUM,
+    "event_funnel": SQL_EVENT_FUNNEL,
+    "set_overlap_join": SQL_SET_OVERLAP_JOIN,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,

@@ -1,0 +1,85 @@
+"""set_overlap_join: prefix-filter completeness + exactness vs a
+brute-force all-pairs oracle on a synthetic corpus with planted
+high-overlap pairs (including near-identical docs and docs sharing
+only frequent tokens, which must be FOUND despite never appearing in
+each other's rare-token prefixes ... unless overlap < T)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from entitylinking_ray.stages.setsim import set_overlap_join
+
+
+def _norm_tokens(text: str) -> set:
+    return {w for w in " ".join(text.split()).lower().split(" ") if w}
+
+
+def _brute(df: pd.DataFrame, t: int) -> pd.DataFrame:
+    rows = []
+    toks = [(_norm_tokens(x)) for x in df["text"]]
+    ids = df["doc_id"].tolist()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            ov = len(toks[i] & toks[j])
+            if ov >= t:
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, ov))
+    return (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "overlap"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.astype({"id_a": "int64", "id_b": "int64", "overlap": "int64"})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_overlap_join_exact_vs_bruteforce():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(120):
+        n = rng.integers(8, 25)
+        docs.append(" ".join(rng.choice(vocab, size=n, replace=False)))
+    # planted near-duplicates: shared 12-token core + noise
+    core = " ".join(vocab[200:212])
+    for i in range(6):
+        extra = " ".join(rng.choice(vocab[:50], size=4, replace=False))
+        docs.append(core + " " + extra)
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    for t in (5, 10, 12):
+        got = _canon(
+            set_overlap_join(
+                ray.data.from_pandas(df).repartition(6), "text", "doc_id", t
+            ).to_pandas()
+        )
+        want = _brute(df, t)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_overlap_join_short_docs_and_empty():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b", "a b", "", "   "],
+        }
+    )
+    out = set_overlap_join(
+        ray.data.from_pandas(df), "text", "doc_id", 3
+    ).to_pandas()
+    assert len(out) == 0  # every set smaller than T emits nothing
+    out2 = _canon(
+        set_overlap_join(ray.data.from_pandas(df), "text", "doc_id", 2).to_pandas()
+    )
+    assert out2.values.tolist() == [[0, 1, 2]]
