@@ -2679,8 +2679,10 @@ def _bucket_scores(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
     )
 
+    nb = _n_buckets()
+
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
                 "user_id": b["user_id"],
                 "bkey": b["event_type"]
@@ -2689,24 +2691,35 @@ def _bucket_scores(sf_dir: str):
                 "val_c": np.round(b["value"].to_numpy() * 100).astype(np.int64),
             }
         )
+        # map-side combiner: partial per-(bkey, user) sums within the
+        # batch, so the ONE hb shuffle moves pre-aggregated rows; the
+        # final sum happens inside the bucket task (_bucket_runs).
+        part = (
+            df.groupby(["bkey", "user_id"], sort=False)["val_c"]
+            .sum()
+            .reset_index()
+        )
+        part["hb"] = _bucket_of(
+            part["bkey"].to_numpy(dtype=object), nb
+        ).to_numpy(zero_copy_only=False)
+        return part
 
-    agg = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["bkey", "user_id"])
-        .aggregate(Sum("val_c", alias_name="val_c"))
-    )
-    nb = _n_buckets()
-    return agg.map_batches(
-        lambda b: b.append_column("hb", _bucket_of(b.column("bkey").to_numpy(zero_copy_only=False), nb)),
-        batch_format="pyarrow",
-    )
+    return ds.map_batches(bucket, batch_format="pandas")
 
 
 def _bucket_runs(g: pa.Table):
-    """Sort one hash bucket by (bkey, val desc, user asc) and yield the
-    sorted table plus (start, end) run slices per tournament key."""
+    """Finalize the per-(bkey, user) sums (partials from the map-side
+    combiner land in the same hb bucket), sort by (bkey, val desc,
+    user asc) and yield the sorted table plus (start, end) run slices
+    per tournament key."""
     from entitylinking_ray.stages.blocking import _group_slices
 
+    g = (
+        g.select(["bkey", "user_id", "val_c"])
+        .group_by(["bkey", "user_id"])
+        .aggregate([("val_c", "sum")])
+        .rename_columns(["bkey", "user_id", "val_c"])
+    )
     order = pc.sort_indices(
         g,
         sort_keys=[

@@ -87,6 +87,7 @@ def fit_plackett_luce_dataset(
     order_col: str = "order",
     max_iter: int = 100,
     tol: float = 1e-6,
+    driver_max_rankings: int = 100_000,
 ) -> list[tuple[str, float]]:
     """Global Plackett-Luce MM fit over a Dataset of rankings (column
     ``order_col``: list<string> of player ids, best first, len >= 2).
@@ -126,6 +127,47 @@ def fit_plackett_luce_dataset(
         return pa.table({"enc": pa.array(enc, pa.list_(pa.int64()))})
 
     encoded = rankings.map_batches(encode, batch_format="pyarrow").materialize()
+
+    # Driver fast path: the MM loop is O(iterations) cluster passes, and
+    # each pass costs a task round-trip per block — pure orchestration
+    # overhead when the encoded rankings are model-sized. Below the
+    # threshold, pull them once and run the SAME estimator locally
+    # (mirrors the union-find cc_driver_max_edges fast path). The
+    # distributed loop below is the >threshold path, unchanged.
+    if encoded.count() <= driver_max_rankings:
+        rows = [
+            np.asarray(r["enc"], dtype=np.int64) for r in encoded.take_all()
+        ]
+        if not rows:
+            return [(d, 1.0) for d in ids]
+        w_count = np.zeros(n)
+        for r in rows:
+            w_count[r[:-1]] += 1.0
+        if not w_count.any():
+            return [(d, 1.0) for d in ids]
+        p = np.ones(n)
+        for _ in range(max_iter):
+            denom_sum = np.zeros(n)
+            for r in rows:
+                tail = p[r]
+                suffix = np.cumsum(tail[::-1])[::-1]
+                invs = 1.0 / np.maximum(suffix[:-1], 1e-12)
+                cs = np.cumsum(invs)
+                add = np.empty(len(r))
+                add[: len(cs)] = cs
+                add[len(cs):] = cs[-1]
+                denom_sum[r] += add
+            new_p = np.where(
+                denom_sum > 0, w_count / np.maximum(denom_sum, 1e-12), p
+            )
+            new_p = np.maximum(new_p, 1e-12)
+            new_p = new_p * n / new_p.sum()
+            if np.abs(new_p - p).max() < tol:
+                p = new_p
+                break
+            p = new_p
+        order = sorted(range(n), key=lambda i: (-p[i], ids[i]))
+        return [(ids[i], float(p[i])) for i in order]
 
     def batch_stats(b: pa.Table, p: np.ndarray | None) -> pa.Table:
         """One partial vector per batch: win counts (p is None) or MM

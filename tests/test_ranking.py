@@ -123,8 +123,14 @@ def test_distributed_fits_equal_local(ray_session):
     ds = ray.data.from_arrow(
         pa.table({"order": pa.array(rankings, pa.list_(pa.string()))})
     )
+    # driver fast path (default threshold) AND the forced distributed
+    # loop must both reproduce the in-memory fit
     got_pl = fit_plackett_luce_dataset(ds)
     assert [(u, round(s, 9)) for u, s in got_pl] == [
+        (u, round(s, 9)) for u, s in want_pl
+    ]
+    got_pl_dist = fit_plackett_luce_dataset(ds, driver_max_rankings=0)
+    assert [(u, round(s, 9)) for u, s in got_pl_dist] == [
         (u, round(s, 9)) for u, s in want_pl
     ]
 
