@@ -1222,6 +1222,261 @@ GROUP BY 1, 2 HAVING count(*) >= 30
 """
 
 
+def q_ntile(sf_dir: str):
+    """Decile assignment (ntile(10)) of order totalprice within each
+    order priority, tie-broken by orderkey. Engine shape: hash-bucket
+    the partition key, sort inside the bucket, assign tiles with the
+    SQL-standard size formula (first n%k tiles get one extra row) via
+    np.repeat — no per-row Python. With few, large partitions the
+    per-partition sort is the inherent cost; the bucket hash spreads
+    DISTINCT keys, and a single key larger than one node's memory would
+    need a two-pass range-partitioned rank (documented, not needed
+    here)."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    nb = _n_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_hb",
+            _bucket_of(
+                b.column("o_orderpriority").to_numpy(zero_copy_only=False), nb
+            ),
+        )
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": [], "o_orderpriority": [], "decile": []}
+            )
+        g = g.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"]
+        ).reset_index(drop=True)
+        out = np.empty(len(g), dtype=np.int64)
+        keys = g["o_orderpriority"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(g)]))
+        k = 10
+        for s, e in zip(starts, ends):  # per PARTITION KEY, not per row
+            n = e - s
+            base, extra = divmod(n, k)
+            sizes = np.full(k, base, dtype=np.int64)
+            sizes[:extra] += 1
+            out[s:e] = np.repeat(np.arange(1, k + 1), sizes)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_orderpriority": g["o_orderpriority"],
+                "decile": out,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(tiles, batch_format="pandas")
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+       AS decile
+FROM orders
+"""
+
+
+def q_group_mode(sf_dir: str):
+    """Per-event-type modal user (most events; tie -> smallest user_id).
+    Map-side value_counts partials ride one (event_type, user) groupby;
+    the winner pick is a second vectorized pass over the model-sized
+    count table — the heavy shuffle moves pre-aggregated counts, never
+    raw events."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        part = (
+            b.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return part
+
+    counts = (
+        ds.map_batches(cnt, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"event_type": [], "mode_user": [], "n": []})
+        b = b.sort_values(
+            ["event_type", "n", "user_id"], ascending=[True, False, True]
+        )
+        top = b.drop_duplicates(subset=["event_type"], keep="first")
+        return pd.DataFrame(
+            {
+                "event_type": top["event_type"],
+                "mode_user": top["user_id"].astype("int64"),
+                "n": top["n"].astype("int64"),
+            }
+        )
+
+    # per-group argmax over the pre-aggregated count table: groupby the
+    # group key itself (counts are O(distinct (type,user)) — the rows
+    # per type stay bounded by the user set, and no single partition
+    # ever holds the whole table)
+    return counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+SQL_GROUP_MODE = """
+SELECT event_type, CAST(user_id AS BIGINT) AS mode_user, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id)
+WHERE rn = 1
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """JSON field extraction + aggregate over events.props: pull the
+    integer field k with a vectorized regex (pandas .str.extract — one
+    compiled-C pass, no per-row json.loads), map-side partial sums, one
+    tiny groupby. The avg is computed as sum/count from the SAME int64
+    operands in both engines, so the float is bit-identical to the SQL
+    twin."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+            .astype("int64")
+        )
+        g = (
+            pd.DataFrame({"event_type": b["event_type"], "k": k})
+            .groupby("event_type", sort=False)
+            .agg(n=("k", "size"), sum_k=("k", "sum"))
+            .reset_index()
+        )
+        return g
+
+    agg = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "sum_k": b["sum_k"],
+                "avg_k": pc.divide(
+                    pc.cast(b["sum_k"], pa.float64()),
+                    pc.cast(b["n"], pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+            AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank (20 damped power iterations) over the user co-occurrence
+    graph — the same (event_type, hour) chain edges as unionfind_events,
+    symmetrized. Exercises the engine's iterative-graph pattern
+    (stages/pagerank): driver fast path below the edge threshold,
+    broadcast-vector rounds above, both pinned equal in pytest.
+    Rows-only (iterative float fixpoint is not SQL-oracle-able
+    value-exactly)."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
+    from entitylinking_ray.stages.pagerank import pagerank
+    from entitylinking_ray.util import distinct_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "bkey": b["event_type"]
+                + "|"
+                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
+            }
+        ).drop_duplicates()
+
+    buckets = distinct_rows(
+        ds.map_batches(bucket, batch_format="pandas"), ["user_id", "bkey"]
+    )
+    nb = _n_buckets()
+    hashed = buckets.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def chain_edges(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("bkey", "ascending"), ("user_id", "ascending")]
+        )
+        g = group.take(order)
+        keys = g["bkey"].to_numpy(zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        sa, sb = [], []
+        for s, e in _group_slices(keys):
+            if e - s < 2:
+                continue
+            sa.append(users[s : e - 1])
+            sb.append(users[s + 1 : e])
+        if not sa:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        a = np.concatenate(sa)
+        b_ = np.concatenate(sb)
+        # symmetrize: the co-occurrence graph is undirected
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b_]), pa.int64()),
+                "dst": pa.array(np.concatenate([b_, a]), pa.int64()),
+            }
+        )
+
+    edges = hashed.groupby("hb").map_groups(chain_edges, batch_format="pyarrow")
+    out = pagerank(edges, n_iter=20)
+    out["rank"] = np.round(out["rank"], 10)
+    return out
+
+
 def q_unionfind_events(sf_dir: str):
     """Distributed union-find with a recursive-SQL oracle: users are
     connected when they co-occur in the same (event_type, hour) bucket;
@@ -3128,6 +3383,9 @@ QUERIES = {
     "rolling_sum": q_rolling_sum,
     "event_funnel": q_event_funnel,
     "set_overlap_join": q_set_overlap_join,
+    "ntile": q_ntile,
+    "group_mode": q_group_mode,
+    "json_extract": q_json_extract,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3136,6 +3394,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bloom_semi_join": q_bloom_semi_join,
     "unionfind_events": q_unionfind_events,
+    "pagerank": q_pagerank,
     "knn_bruteforce": q_knn_bruteforce,
     "embed_centroids": q_embed_centroids,
     "extract_mentions": q_extract_mentions,
@@ -3190,6 +3449,9 @@ ORACLE_SQL = {
     "rolling_sum": SQL_ROLLING_SUM,
     "event_funnel": SQL_EVENT_FUNNEL,
     "set_overlap_join": SQL_SET_OVERLAP_JOIN,
+    "ntile": SQL_NTILE,
+    "group_mode": SQL_GROUP_MODE,
+    "json_extract": SQL_JSON_EXTRACT,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
