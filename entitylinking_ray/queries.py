@@ -1351,6 +1351,147 @@ WHERE rn = 1
 """
 
 
+def q_rollup(sf_dir: str):
+    """ROLLUP aggregate: order totalprice (fixed-point cents) by
+    (priority, year) with subtotal and grand-total rows. One distributed
+    pass builds the base cell table (map-side partial sums, one small
+    groupby); the rollup levels are derived FROM THE BASE CELLS on the
+    driver — the base is model-sized by construction (bounded by
+    distinct dim combinations), so no second pass over the data, and
+    integer cent sums make every level bit-exact regardless of
+    aggregation order. NULL dimension markers are encoded as
+    'ALL' / -1 on both sides to keep the comparison type-stable."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    )
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_year": b["o_orderdate"].dt.year.astype("int64"),
+                "rev_c": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        return (
+            df.groupby(["o_orderpriority", "o_year"], sort=False)["rev_c"]
+            .sum()
+            .reset_index()
+        )
+
+    base = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby(["o_orderpriority", "o_year"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .to_pandas()
+    )
+    lvl1 = (
+        base.groupby("o_orderpriority", as_index=False)["rev_c"]
+        .sum()
+        .assign(o_year=-1)
+    )
+    lvl0 = pd.DataFrame(
+        {"o_orderpriority": ["ALL"], "o_year": [-1], "rev_c": [base["rev_c"].sum()]}
+    )
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["o_year"] = out["o_year"].astype("int64")
+    out["rev_c"] = out["rev_c"].astype("int64")
+    return out[["o_orderpriority", "o_year", "rev_c"]]
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COALESCE(o_year, -1) AS BIGINT) AS o_year,
+       CAST(sum(cents) AS BIGINT) AS rev_c
+FROM (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+GROUP BY ROLLUP(o_orderpriority, o_year)
+"""
+
+
+def q_pivot(sf_dir: str):
+    """Pivot events long->wide: one row per user with per-event-type
+    counts as columns. Map-side crosstab partials (vectorized pandas
+    crosstab per batch) ride one groupby-sum over the user key — the
+    shuffle moves one row per (user, batch), never raw events, and the
+    column set is the (fixed) event-type vocabulary."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype("int64")
+        ct.columns = [f"n_{t}" for t in types]
+        return ct.reset_index().rename(columns={"user_id": "user_id"})
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    return (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered string aggregation: per nation, the comma-joined
+    lexicographically-sorted supplier names. Hash-bucket the nation key,
+    sort + join inside the bucket (deterministic order makes the result
+    value-exact vs the SQL twin's ORDER BY string_agg)."""
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
+    )
+    nb = _n_buckets()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_hb",
+            _bucket_of(b.column("s_nationkey").to_numpy(zero_copy_only=False), nb),
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"s_nationkey": [], "names": []})
+        g = g.sort_values(["s_nationkey", "s_name"])
+        out = (
+            g.groupby("s_nationkey", sort=True)["s_name"]
+            .agg(",".join)
+            .rename("names")
+            .reset_index()
+        )
+        return out
+
+    return (
+        sup.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
+SQL_STRING_AGG = """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def q_json_extract(sf_dir: str):
     """JSON field extraction + aggregate over events.props: pull the
     integer field k with a vectorized regex (pandas .str.extract — one
@@ -3386,6 +3527,9 @@ QUERIES = {
     "ntile": q_ntile,
     "group_mode": q_group_mode,
     "json_extract": q_json_extract,
+    "rollup": q_rollup,
+    "pivot": q_pivot,
+    "string_agg": q_string_agg,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3452,6 +3596,9 @@ ORACLE_SQL = {
     "ntile": SQL_NTILE,
     "group_mode": SQL_GROUP_MODE,
     "json_extract": SQL_JSON_EXTRACT,
+    "rollup": SQL_ROLLUP,
+    "pivot": SQL_PIVOT,
+    "string_agg": SQL_STRING_AGG,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
