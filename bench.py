@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "dedup_minhash",
     "dedup_exact",
+    "heavy_hitters",
+    "set_overlap_join",
+    "rolling_sum",
+    "pagerank",
 ]
 
 
