@@ -288,6 +288,14 @@ def score_pairs(
     # pass costs more than the utilization it buys (VERDICT r2 #2).
     if spread:
         pairs = pairs.repartition(pool * 3)
+    elif n_pairs_hint is not None:
+        # small input: don't spin up actors that can never receive a
+        # task (the pool is fixed-size, so each unused slot still pays
+        # process startup) — cap the pool at the number of batches the
+        # hint implies
+        import math
+
+        pool = max(1, min(pool, math.ceil(n_pairs_hint / cfg.score_batch_size)))
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"config": cfg, "bm25_stats_ref": bm25_stats_ref},
