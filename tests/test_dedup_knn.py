@@ -301,3 +301,28 @@ def test_heavy_hitters_exact_vs_duckdb(ray_session):
             for r in heavy_hitters(ds, "text", min_count=50, k=k, tokenize=True).take_all()
         }
         assert got == exact, f"k={k}"
+
+
+def test_heavy_hitters_value_mode(ray_session):
+    """tokenize=False: frequent raw values, exact vs Counter, both the
+    certified and the fallback path."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from entitylinking_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vals = [f"v{int(x)}" for x in rng.zipf(1.5, size=30000) if x < 1000]
+    true = collections.Counter(vals)
+    want = {v: c for v, c in true.items() if c >= 100}
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    for k in (2048, 3):
+        got = {
+            r["value"]: r["n"]
+            for r in heavy_hitters(ds, "v", min_count=100, k=k).take_all()
+        }
+        assert got == want, f"k={k}"

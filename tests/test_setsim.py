@@ -83,3 +83,25 @@ def test_set_overlap_join_short_docs_and_empty():
         set_overlap_join(ray.data.from_pandas(df), "text", "doc_id", 2).to_pandas()
     )
     assert out2.values.tolist() == [[0, 1, 2]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_overlap_join_partition_invariant():
+    """Identical pair set regardless of how the input is partitioned
+    (postings bucketing is content-hashed, not block-dependent)."""
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(120)]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(10, 20)), replace=False))
+        for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": docs})
+    outs = []
+    for parts in (2, 13):
+        got = _canon(
+            set_overlap_join(
+                ray.data.from_pandas(df).repartition(parts), "text", "doc_id", 6
+            ).to_pandas()
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
