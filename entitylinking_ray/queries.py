@@ -1351,6 +1351,60 @@ WHERE rn = 1
 """
 
 
+def q_curate_corpus(sf_dir: str):
+    """End-to-end training-data curation (pipelines/curation): ONE map
+    pass computes tokens / quality / language / fingerprint from a
+    shared normalization, a vectorized mask applies the quality +
+    language + length filters, and one fingerprint-bucketed shuffle
+    keeps the first copy per content hash. Every decision is
+    deterministic, so the whole multi-stage composition is value-exact
+    against the SQL twin (QUALIFY min-id-per-fingerprint)."""
+    from entitylinking_ray.pipelines.curation import curate_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate_corpus(ds, min_quality=0.5, lang="en", min_tokens=10)
+
+
+def _curate_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        parts = " + ".join(
+            f"CASE WHEN list_contains(t, '{m}') THEN 1 ELSE 0 END"
+            for m in LANG_MARKERS[lang]
+        )
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    gt = ", ".join(f"s_{l}" for l in langs)
+    case = [f"WHEN greatest({gt}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_SQL} AS norm,
+         string_split({_NORM_SQL}, ' ') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, norm, t, len(t) AS n_tokens,
+         0.5 * least(1.0, len(t) / 100.0)
+       + 0.5 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE)) AS quality,
+         {", ".join(score_exprs)}
+  FROM toks
+), labeled AS (
+  SELECT doc_id, norm, n_tokens, quality, {case_sql} AS lang_pred FROM s
+)
+SELECT doc_id, lang_pred, n_tokens, quality
+FROM labeled
+WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 10
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(norm))
+"""
+
+
+SQL_CURATE = _curate_sql()
+
+
 def q_rollup(sf_dir: str):
     """ROLLUP aggregate: order totalprice (fixed-point cents) by
     (priority, year) with subtotal and grand-total rows. One distributed
@@ -3530,6 +3584,7 @@ QUERIES = {
     "rollup": q_rollup,
     "pivot": q_pivot,
     "string_agg": q_string_agg,
+    "curate_corpus": q_curate_corpus,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3599,6 +3654,7 @@ ORACLE_SQL = {
     "rollup": SQL_ROLLUP,
     "pivot": SQL_PIVOT,
     "string_agg": SQL_STRING_AGG,
+    "curate_corpus": SQL_CURATE,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
