@@ -36,6 +36,17 @@ def main(argv: list[str] | None = None) -> int:
         help="generate an N-doc synthetic corpus into <workdir>/input instead of --input",
     )
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the training-data curation pipeline (quality + language "
+        "filter + exact dedup) instead of entity resolution; writes "
+        "<workdir>/curated atomically and skips the run if it already "
+        "committed (idempotent re-submit)",
+    )
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--lang", default="en")
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
@@ -68,9 +79,54 @@ def main(argv: list[str] | None = None) -> int:
             )
             os.rename(input_path + ".tmp", input_path)
 
-    summary = run_checkpointed(
-        input_path, args.workdir, cfg, resume=not args.no_resume
-    )
+    if args.curate:
+        import os
+
+        from entitylinking_ray.pipelines.curation import curate_corpus
+        from entitylinking_ray.sources.documents import read_documents
+
+        out_dir = os.path.join(args.workdir, "curated")
+        if os.path.isdir(out_dir) and not args.no_resume:
+            summary = {"curated_dir": out_dir, "resumed": True}
+        else:
+            docs = read_documents(input_path)
+            # the canonical interleaved table carries spans; flatten to a
+            # text column when needed (plain (doc_id, text) passes through)
+            names = docs.schema().names
+            if "text" not in names and "spans" in names:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                def flat(b: pa.Table) -> pa.Table:
+                    spans = b.column("spans")
+                    if isinstance(spans, pa.ChunkedArray):
+                        spans = spans.combine_chunks()
+                    rows = spans.to_pylist()
+                    joined = [
+                        " ".join(s["text"] or "" for s in r or []) for r in rows
+                    ]
+                    return pa.table({"doc_id": b["doc_id"], "text": joined})
+
+                docs = docs.map_batches(flat, batch_format="pyarrow")
+            curated = curate_corpus(
+                docs,
+                min_quality=args.min_quality,
+                lang=args.lang,
+                min_tokens=args.min_tokens,
+            )
+            curated = curated.materialize()
+            n_rows = curated.count()
+            # pre-create the tmp dir: an all-filtered (empty) result
+            # writes no files, and the atomic rename must still commit
+            os.makedirs(out_dir + ".tmp", exist_ok=True)
+            if n_rows:
+                curated.write_parquet(out_dir + ".tmp")
+            os.rename(out_dir + ".tmp", out_dir)
+            summary = {"curated_dir": out_dir, "resumed": False, "rows": n_rows}
+    else:
+        summary = run_checkpointed(
+            input_path, args.workdir, cfg, resume=not args.no_resume
+        )
     print(json.dumps(summary, indent=2, default=str))
     ray.shutdown()
     return 0
