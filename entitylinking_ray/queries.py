@@ -1351,6 +1351,87 @@ WHERE rn = 1
 """
 
 
+def q_date_funcs(sf_dir: str):
+    """Date-part scalar family over orders: year / month / quarter /
+    day-of-week plus day difference to a fixed epoch date — all
+    vectorized pandas .dt accessors, integer outputs bit-exact vs the
+    SQL twins."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    epoch = pd.Timestamp("1995-01-01")
+
+    def parts(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": d.dt.year.astype("int64"),
+                "o_month": d.dt.month.astype("int64"),
+                "o_quarter": d.dt.quarter.astype("int64"),
+                # DuckDB dayofweek: Sunday=0; pandas dayofweek: Monday=0
+                "o_dow": ((d.dt.dayofweek + 1) % 7).astype("int64"),
+                "days_since": (d - epoch).dt.days.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(parts, batch_format="pandas")
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS o_dow,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+         AS days_since
+FROM orders
+"""
+
+
+def q_explode_tokens(sf_dir: str):
+    """Explode (unnest WITH ORDINALITY): one row per token per document
+    with its 1-based position. Vectorized flatten — list offsets give
+    parent ids and per-row positions by run arithmetic, no Python loop
+    over tokens."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    from entitylinking_ray.functions.textnorm import normalize_arrow
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets)
+        counts = np.diff(offsets)
+        starts = np.repeat(offsets[:-1], counts)
+        pos = np.arange(len(flat), dtype=np.int64) - starts + 1
+        doc_ids = b.column("doc_id").take(parent)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "tok": flat,
+                "pos": pa.array(pos, pa.int64()),
+            }
+        ).filter(keep)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_EXPLODE_TOKENS = f"""
+SELECT doc_id, tok, pos FROM (
+  SELECT doc_id, unnest(toks) AS tok,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents))
+WHERE tok <> ''
+"""
+
+
 def q_curate_corpus(sf_dir: str):
     """End-to-end training-data curation (pipelines/curation): ONE map
     pass computes tokens / quality / language / fingerprint from a
@@ -3585,6 +3666,8 @@ QUERIES = {
     "pivot": q_pivot,
     "string_agg": q_string_agg,
     "curate_corpus": q_curate_corpus,
+    "date_funcs": q_date_funcs,
+    "explode_tokens": q_explode_tokens,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3655,6 +3738,8 @@ ORACLE_SQL = {
     "pivot": SQL_PIVOT,
     "string_agg": SQL_STRING_AGG,
     "curate_corpus": SQL_CURATE,
+    "date_funcs": SQL_DATE_FUNCS,
+    "explode_tokens": SQL_EXPLODE_TOKENS,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
