@@ -129,26 +129,41 @@ def set_overlap_join(
             np.concatenate(([True], toks[1:] != toks[:-1]))
         )
         ends = np.concatenate((starts[1:], [len(g)]))
-        out_a, out_b, out_ov = [], [], []
-        seen = set()
+        # candidate pair enumeration fully vectorized: triu index pairs
+        # per token run, concatenated, then a single np.unique dedup so
+        # the exact-verify loop below runs ONCE per distinct pair
+        ia_parts, ib_parts = [], []
         for s, e in zip(starts, ends):
-            for i in range(s, e):
-                ai = np.frombuffer(sets[i], dtype=np.int64)
-                for j in range(i + 1, e):
-                    a, b_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    if (a, b_) in seen:
-                        continue
-                    seen.add((a, b_))
-                    ov = len(
-                        np.intersect1d(
-                            ai, np.frombuffer(sets[j], dtype=np.int64),
-                            assume_unique=True,
-                        )
-                    )
-                    if ov >= t:
-                        out_a.append(a)
-                        out_b.append(b_)
-                        out_ov.append(ov)
+            n = e - s
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            ia_parts.append(iu + s)
+            ib_parts.append(ju + s)
+        if not ia_parts:
+            return pd.DataFrame({"id_a": [], "id_b": [], "overlap": []})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        a_ids = np.minimum(ids[ia], ids[ib])
+        b_ids = np.maximum(ids[ia], ids[ib])
+        _, first = np.unique(
+            np.stack([a_ids, b_ids], axis=1), axis=0, return_index=True
+        )
+        ia, ib = ia[first], ib[first]
+        out_a, out_b, out_ov = [], [], []
+        for i, j in zip(ia, ib):
+            ov = len(
+                np.intersect1d(
+                    np.frombuffer(sets[i], dtype=np.int64),
+                    np.frombuffer(sets[j], dtype=np.int64),
+                    assume_unique=True,
+                )
+            )
+            if ov >= t:
+                a, b_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                out_a.append(a)
+                out_b.append(b_)
+                out_ov.append(ov)
         return pd.DataFrame(
             {"id_a": out_a, "id_b": out_b,
              "overlap": pd.array(out_ov, dtype="int64")}
