@@ -1333,11 +1333,21 @@ def q_group_mode(sf_dir: str):
             }
         )
 
-    # per-group argmax over the pre-aggregated count table: groupby the
-    # group key itself (counts are O(distinct (type,user)) — the rows
-    # per type stay bounded by the user set, and no single partition
-    # ever holds the whole table)
-    return counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+    # per-group argmax over the pre-aggregated count table, grouped by a
+    # HASH BUCKET of the key (one Python call per bucket, not per key —
+    # the repo-wide map_groups rule); pick() already handles multiple
+    # keys per bucket via sort + drop_duplicates
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
+
+    nb = _n_buckets()
+    bucketed = counts.map_batches(
+        lambda b: b.append_column(
+            "_hb",
+            _bucket_of(b.column("event_type").to_numpy(zero_copy_only=False), nb),
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("_hb").map_groups(pick, batch_format="pandas")
 
 
 SQL_GROUP_MODE = """
