@@ -1361,6 +1361,49 @@ WHERE rn = 1
 """
 
 
+def q_histogram(sf_dir: str):
+    """Equal-width histogram of order totalprice (20 bins): pass 1 is a
+    tiny global min/max aggregate, pass 2 bins every row vectorized with
+    the SAME float expression as the SQL twin (floor((v-mn)*20/(mx-mn)),
+    top edge clipped) so bin ids are bit-identical, then a map-side
+    value_counts pre-aggregate rides a 20-row groupby."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    mm = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    mn, mx = float(mm["min(o_totalprice)"]), float(mm["max(o_totalprice)"])
+
+    def binit(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(
+            np.floor((v - mn) * 20.0 / (mx - mn)).astype(np.int64), 19
+        )
+        vc = pc.value_counts(pa.array(bins, pa.int64()))
+        return pa.table(
+            {
+                "bin": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(binit, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_HISTOGRAM = """
+WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT least(CAST(floor((o_totalprice - mn) * 20.0 / (mx - mn)) AS BIGINT), 19)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders, mm GROUP BY 1
+"""
+
+
 def q_date_funcs(sf_dir: str):
     """Date-part scalar family over orders: year / month / quarter /
     day-of-week plus day difference to a fixed epoch date — all
@@ -3678,6 +3721,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "date_funcs": q_date_funcs,
     "explode_tokens": q_explode_tokens,
+    "histogram": q_histogram,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3750,6 +3794,7 @@ ORACLE_SQL = {
     "curate_corpus": SQL_CURATE,
     "date_funcs": SQL_DATE_FUNCS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
+    "histogram": SQL_HISTOGRAM,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
