@@ -1361,6 +1361,78 @@ WHERE rn = 1
 """
 
 
+def q_correlation(sf_dir: str):
+    """Pearson correlation of (quantity, discount) over lineitem from
+    EXACT integer sufficient statistics: fixed-point values (cents /
+    basis points) give int64 partial sums of x, y, x², y², xy per batch,
+    one 5-column groupby-less reduce, and the final float is computed
+    from identical integer operands in both engines — bit-exact without
+    trusting either engine's corr() summation order."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        y = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+    import math
+
+    n, sx, sy = stats["n"], stats["sx"], stats["sy"]
+    sxx, syy, sxy = stats["sxx"], stats["syy"], stats["sxy"]
+    # math.sqrt (IEEE sqrt), not **0.5 (pow) — must mirror SQL sqrt()
+    corr = (float(n * sxy - sx * sy)) / (
+        math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    )
+    return pd.DataFrame([{"n": int(n), "corr_qty_disc": corr}])
+
+
+SQL_CORRELATION = """
+WITH fx AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_discount * 10000) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM fx
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_disc
+FROM s
+"""
+
+
 def q_histogram(sf_dir: str):
     """Equal-width histogram of order totalprice (20 bins): pass 1 is a
     tiny global min/max aggregate, pass 2 bins every row vectorized with
@@ -3722,6 +3794,7 @@ QUERIES = {
     "date_funcs": q_date_funcs,
     "explode_tokens": q_explode_tokens,
     "histogram": q_histogram,
+    "correlation": q_correlation,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3795,6 +3868,7 @@ ORACLE_SQL = {
     "date_funcs": SQL_DATE_FUNCS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "histogram": SQL_HISTOGRAM,
+    "correlation": SQL_CORRELATION,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
