@@ -1433,6 +1433,283 @@ FROM s
 """
 
 
+def q_lag_delta(sf_dir: str):
+    """LAG window: per-user inter-arrival time in exact integer
+    microseconds. Same shuffle shape as sessionize — groupby a HASH
+    BUCKET of user_id (bounded Python dispatch), one vectorized pass per
+    bucket: sort by (user_id, ts, event_id), int64 epoch-us diff, drop
+    each user's first event. Integer output keeps the window bit-exact
+    vs the SQL twin regardless of timestamp precision."""
+    from entitylinking_ray.stages.blocking import _n_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    nb = _n_buckets()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_hb"] = (
+            pd.util.hash_array(b["user_id"].to_numpy(), categorize=False)
+            % np.uint64(nb)
+        ).astype("int32")
+        return b
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "delta_us": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        same_user = np.empty(len(g), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        delta = np.empty(len(g), dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = us[1:] - us[:-1]
+        out = pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"], "delta_us": delta}
+        )
+        return out[same_user]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(lag_bucket, batch_format="pandas")
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT event_id, user_id, delta_us FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+  FROM events)
+WHERE delta_us IS NOT NULL
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """percent_rank() of order totalprice within each order priority.
+    The partition key has FIXED low cardinality (5 priorities), so one
+    map_groups task per key is the honest shape — each task is a single
+    vectorized rank (pandas rank method='min', SQL rank() semantics) and
+    (rank-1)/(n-1) divides identical integer operands in both engines.
+    For a high-cardinality or skewed partition key the two-pass variant
+    (per-(group,value) count aggregate, per-group prefix sum over sorted
+    distinct values, broadcast-join back) replaces the per-group sort;
+    at 5 keys the simple form wins."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype="int64"),
+                 "o_orderpriority": pd.Series([], dtype="object"),
+                 "pr": pd.Series([], dtype="float64")}
+            )
+        r = g["o_totalprice"].rank(method="min").to_numpy().astype(np.int64)
+        n = len(g)
+        pr = (r - 1) / float(n - 1) if n > 1 else np.zeros(len(g))
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"],
+             "o_orderpriority": g["o_orderpriority"],
+             "pr": pr}
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(rank_group, batch_format="pandas")
+
+
+SQL_PERCENT_RANK = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr
+FROM orders
+"""
+
+
+def q_zscore(sf_dir: str):
+    """Per-group z-score normalization of lineitem quantity within
+    return flag — the broadcast-stats pattern: pass 1 reduces exact
+    integer sufficient statistics (n, sum, sum-of-squares in fixed
+    point) to one tiny row per group; pass 2 broadcasts that dict and
+    standardizes every row vectorized, no second shuffle. z =
+    (x*n - sx) / sqrt(n*sxx - sx^2) is computed from identical integer
+    operands in both engines (driver-side Python ints avoid int64
+    overflow in n*sxx at large n), so the floats are bit-exact."""
+    import math
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        x = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        flags = b["l_returnflag"].to_pandas()
+        df = pd.DataFrame({"f": flags, "x": x, "xx": x * x})
+        g = df.groupby("f", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")
+        ).reset_index()
+        return pa.table(
+            {"l_returnflag": pa.array(g["f"], pa.string()),
+             "n": pa.array(g["n"], pa.int64()),
+             "sx": pa.array(g["sx"], pa.int64()),
+             "sxx": pa.array(g["sxx"], pa.int64())}
+        )
+
+    stats_rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )
+    # Python ints: n*sxx exceeds int64 near n~2e6; exact here regardless.
+    stats = {
+        r["l_returnflag"]: (
+            int(r["n"]),
+            int(r["sx"]),
+            math.sqrt(float(int(r["n"]) * int(r["sxx"]) - int(r["sx"]) ** 2)),
+        )
+        for r in stats_rows
+    }
+    stats_ref = ray.put(stats)
+
+    def standardize(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(stats_ref)
+        x = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        n = b["l_returnflag"].map(lambda f: st[f][0]).to_numpy(dtype=np.int64)
+        sx = b["l_returnflag"].map(lambda f: st[f][1]).to_numpy(dtype=np.int64)
+        denom = b["l_returnflag"].map(lambda f: st[f][2]).to_numpy(dtype=np.float64)
+        z = (x * n - sx).astype(np.float64) / denom
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"], "l_linenumber": b["l_linenumber"],
+             "l_returnflag": b["l_returnflag"], "z": z}
+        )
+
+    return ds.map_batches(standardize, batch_format="pandas")
+
+
+SQL_ZSCORE = """
+WITH fx AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS c
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx
+  FROM fx GROUP BY l_returnflag
+)
+SELECT fx.l_orderkey, fx.l_linenumber, fx.l_returnflag,
+       CAST(fx.c * s.n - s.sx AS DOUBLE)
+       / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)) AS z
+FROM fx JOIN s USING (l_returnflag)
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Top-3 terms per document ranked by (tf DESC, df ASC, tok ASC) —
+    the tf/df join pattern under pure-integer ordering (no ln() in the
+    ranking: libm log is not cross-engine bit-stable, while the integer
+    sort key is). tf is BATCH-LOCAL (a document's text lives in one row,
+    so per-doc term counts and the per-doc top-k never shuffle); df is
+    one groupby-sum over per-batch-distinct (tok, count) partials whose
+    result is vocabulary-sized and broadcast once via ray.put. At a
+    vocabulary too large to broadcast, the df side becomes a keyed join
+    on tok instead — same pass structure."""
+    from entitylinking_ray.functions.textnorm import normalize_arrow
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tok_pairs(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        doc_ids = b.column("doc_id").take(parent).filter(keep)
+        return pd.DataFrame(
+            {"doc_id": doc_ids.to_numpy(zero_copy_only=False),
+             "tok": flat.filter(keep).to_pandas()}
+        )
+
+    def df_partial(b: pa.Table) -> pd.DataFrame:
+        pairs = tok_pairs(b)
+        d = pairs.drop_duplicates().groupby("tok", sort=False).size()
+        return pd.DataFrame({"tok": d.index, "d": d.to_numpy().astype("int64")})
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("d", alias_name="df"))
+        .take_all()
+    )
+    df_map = {r["tok"]: int(r["df"]) for r in df_rows}
+    df_ref = ray.put(df_map)
+
+    def topk(b: pa.Table) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        pairs = tok_pairs(b)
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "tok": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64"),
+                 "df": pd.Series([], dtype="int64"),
+                 "rn": pd.Series([], dtype="int64")}
+            )
+        tf = (
+            pairs.groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["df"] = tf["tok"].map(dfm).astype("int64")
+        tf = tf.sort_values(
+            ["doc_id", "tf", "df", "tok"], ascending=[True, False, True, True]
+        )
+        tf["rn"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        return tf[tf["rn"] <= 3][["doc_id", "tok", "tf", "df", "rn"]]
+
+    return ds.map_batches(topk, batch_format="pyarrow")
+
+
+SQL_TOP_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY tok
+)
+SELECT doc_id, tok, tf, df, rn FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS BIGINT) AS rn
+  FROM tf JOIN df USING (tok))
+WHERE rn <= 3
+"""
+
+
 def q_histogram(sf_dir: str):
     """Equal-width histogram of order totalprice (20 bins): pass 1 is a
     tiny global min/max aggregate, pass 2 bins every row vectorized with
@@ -1675,14 +1952,26 @@ GROUP BY ROLLUP(o_orderpriority, o_year)
 
 def q_pivot(sf_dir: str):
     """Pivot events long->wide: one row per user with per-event-type
-    counts as columns. Map-side crosstab partials (vectorized pandas
-    crosstab per batch) ride one groupby-sum over the user key — the
-    shuffle moves one row per (user, batch), never raw events, and the
-    column set is the (fixed) event-type vocabulary."""
+    counts as columns. Pass 1 discovers the column vocabulary with a
+    per-batch-distinct map (each batch emits only its distinct types, so
+    the driver materializes at most n_batches x |vocab| rows — bounded by
+    the pivot's own output width, never the data size). Pass 2 runs
+    map-side crosstab partials (vectorized pandas crosstab per batch)
+    into one groupby-sum over the user key — the shuffle moves one row
+    per (user, batch), never raw events."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
-    types = ["click", "error", "purchase", "signup", "view"]
+
+    def batch_vocab(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": pc.unique(b.column("event_type"))})
+
+    vocab = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        .map_batches(batch_vocab, batch_format="pyarrow")
+        .take_all()
+    )
+    types = sorted({r["event_type"] for r in vocab})
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
         ct = pd.crosstab(b["user_id"], b["event_type"])
@@ -3795,6 +4084,10 @@ QUERIES = {
     "explode_tokens": q_explode_tokens,
     "histogram": q_histogram,
     "correlation": q_correlation,
+    "lag_delta": q_lag_delta,
+    "percent_rank": q_percent_rank,
+    "zscore": q_zscore,
+    "top_terms": q_top_terms,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -3869,6 +4162,10 @@ ORACLE_SQL = {
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "histogram": SQL_HISTOGRAM,
     "correlation": SQL_CORRELATION,
+    "lag_delta": SQL_LAG_DELTA,
+    "percent_rank": SQL_PERCENT_RANK,
+    "zscore": SQL_ZSCORE,
+    "top_terms": SQL_TOP_TERMS,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,

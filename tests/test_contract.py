@@ -19,6 +19,8 @@ FAST_QUERIES = [
     "langid",
     "fingerprint",
     "window_hourly",
+    "lag_delta",
+    "zscore",
     "knn_bruteforce",
     "entity_linking",
     "extract_mentions",
