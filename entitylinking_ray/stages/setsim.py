@@ -25,10 +25,12 @@ Scale shape:
   not the set size), bucketed by token hash — no all-to-all on the
   full posting lists, and frequent tokens almost never land in a
   prefix.
-- verification is exact ``np.intersect1d`` over sorted int64 hash
-  arrays inside the bucket task; duplicate candidates from multiple
-  shared prefix tokens are removed by a first-wins groupby on the
-  pair key before emission.
+- verification is exact and vectorized: every candidate pair's two
+  sorted int64 hash sets are gathered into one buffer (in bounded
+  chunks) and a single lexsort counts distinct elements per pair, so
+  overlap = |A| + |B| - |A ∪ B| with no per-pair Python loop;
+  duplicate candidates from multiple shared prefix tokens are removed
+  by a first-wins groupby on the pair key before emission.
 """
 
 from __future__ import annotations
@@ -89,32 +91,74 @@ def set_overlap_join(
 
     # ---- pass 2: prefix postings (token_bucket, token, id, token-set) ----
     def postings(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"_hb": pd.array([], dtype="int32"),
+             "tok": pd.Series([], dtype="object"),
+             "id": pd.Series([], dtype="int64"),
+             "set": pd.Series([], dtype="object")}
+        )
         dfm = ray.get(df_ref)
-        out_bucket, out_tok, out_id, out_set = [], [], [], []
         texts = pa.array(b[text_col].astype(str))
-        toks_list = pc.split_pattern(normalize_arrow(texts), " ").to_pylist()
+        toks = pc.split_pattern(normalize_arrow(texts), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        pairs = pd.DataFrame(
+            {"row": pc.list_parent_indices(toks).filter(keep).to_numpy(
+                zero_copy_only=False),
+             "tok": flat.filter(keep).to_pandas()}
+        ).drop_duplicates()
+        if len(pairs) == 0:
+            return empty
+        # consistent global order: (df asc, token asc), vectorized per
+        # batch — sort once by (row, df, tok), then positional arithmetic
+        # gives each row's prefix (first n - T + 1 tokens)
+        pairs["df"] = pairs["tok"].map(dfm).fillna(0).astype("int64")
+        pairs = pairs.sort_values(
+            ["row", "df", "tok"], kind="mergesort"
+        ).reset_index(drop=True)
+        grp = pairs.groupby("row", sort=False)
+        n_row = grp["tok"].transform("size").to_numpy()
+        rn = grp.cumcount().to_numpy()
+        prefix_mask = (n_row >= t) & (rn < (n_row - t + 1))
+        if not prefix_mask.any():
+            return empty
+        # packed sorted-hash set per row: hash each DISTINCT token once
+        # per batch (factorize + gather), sort within row, slice the
+        # packed buffer by row offsets — no per-token Python loop
+        codes, uniques = pd.factorize(pairs["tok"])
+        uhash = md5_token_hashes(list(uniques)).astype(np.int64)
+        h = uhash[codes]
+        row_arr = pairs["row"].to_numpy()
+        order = np.lexsort((h, row_arr))
+        h_sorted = h[order]
+        row_sorted = row_arr[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], row_sorted[1:] != row_sorted[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(h_sorted)]))
+        buf = h_sorted.tobytes()
+        packed_by_row = {
+            int(row_sorted[s]): buf[s * 8 : e * 8] for s, e in zip(starts, ends)
+        }
+        sel = pairs[prefix_mask]
+        ptoks = sel["tok"].to_numpy()
+        # crc32 bucket per DISTINCT prefix token (deterministic across
+        # worker processes; Python's salted str hash would split a
+        # token's postings across buckets)
+        pt_codes, pt_uniq = pd.factorize(sel["tok"])
+        pt_buckets = np.fromiter(
+            (zlib.crc32(w.encode()) % nb for w in pt_uniq),
+            dtype=np.int64, count=len(pt_uniq),
+        )
         ids = b[id_col].to_numpy()
-        for i, raw in enumerate(toks_list):
-            uniq = sorted({w for w in raw if w})
-            n = len(uniq)
-            if n < t:
-                continue
-            # consistent global order: (df asc, token asc)
-            uniq.sort(key=lambda w: (dfm.get(w, 0), w))
-            prefix = uniq[: n - t + 1]
-            hashes = np.sort(md5_token_hashes(uniq).astype(np.int64))
-            packed = hashes.tobytes()
-            for w in prefix:
-                # deterministic across worker processes (Python's str
-                # hash is salted per process and would split a token's
-                # postings across buckets)
-                out_bucket.append(zlib.crc32(w.encode()) % nb)
-                out_tok.append(w)
-                out_id.append(ids[i])
-                out_set.append(packed)
+        prow = sel["row"].to_numpy()
         return pd.DataFrame(
-            {"_hb": pd.array(out_bucket, dtype="int32"), "tok": out_tok,
-             "id": out_id, "set": out_set}
+            {"_hb": pd.array(pt_buckets[pt_codes], dtype="int32"),
+             "tok": ptoks,
+             "id": ids[prow],
+             "set": [packed_by_row[int(r)] for r in prow]}
         )
 
     # ---- pass 3: in-bucket candidate pairs + exact verify ----
@@ -150,23 +194,47 @@ def set_overlap_join(
             np.stack([a_ids, b_ids], axis=1), axis=0, return_index=True
         )
         ia, ib = ia[first], ib[first]
-        out_a, out_b, out_ov = [], [], []
-        for i, j in zip(ia, ib):
-            ov = len(
-                np.intersect1d(
-                    np.frombuffer(sets[i], dtype=np.int64),
-                    np.frombuffer(sets[j], dtype=np.int64),
-                    assume_unique=True,
-                )
+        # exact verify, fully vectorized: decode every set once, then for
+        # each candidate pair count DISTINCT hashes across both sets with
+        # one lexsort — overlap = |A| + |B| - |A ∪ B|. Pairs are processed
+        # in fixed-size chunks so the gather buffer stays bounded no
+        # matter how many candidates one hot bucket produces.
+        lens = np.fromiter(
+            (len(s) >> 3 for s in sets), dtype=np.int64, count=len(sets)
+        )
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        all_h = np.frombuffer(b"".join(sets), dtype=np.int64)
+        out_a_parts, out_b_parts, out_ov_parts = [], [], []
+        CHUNK = 1 << 17
+        for c0 in range(0, len(ia), CHUNK):
+            ca, cb = ia[c0 : c0 + CHUNK], ib[c0 : c0 + CHUNK]
+            P = len(ca)
+            seg_rows = np.empty(2 * P, dtype=np.int64)
+            seg_rows[0::2], seg_rows[1::2] = ca, cb
+            seg_lens = lens[seg_rows]
+            total = int(seg_lens.sum())
+            shift = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+            flat = (
+                np.repeat(offsets[seg_rows] - shift, seg_lens)
+                + np.arange(total, dtype=np.int64)
             )
-            if ov >= t:
-                a, b_ = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                out_a.append(a)
-                out_b.append(b_)
-                out_ov.append(ov)
+            vals = all_h[flat]
+            pair_el = np.repeat(np.repeat(np.arange(P, dtype=np.int64), 2), seg_lens)
+            order = np.lexsort((vals, pair_el))
+            pv, vv = pair_el[order], vals[order]
+            new = np.concatenate(
+                ([True], (pv[1:] != pv[:-1]) | (vv[1:] != vv[:-1]))
+            )
+            nunique = np.bincount(pv[new], minlength=P)
+            ov = lens[ca] + lens[cb] - nunique
+            keep = ov >= t
+            out_a_parts.append(np.minimum(ids[ca], ids[cb])[keep])
+            out_b_parts.append(np.maximum(ids[ca], ids[cb])[keep])
+            out_ov_parts.append(ov[keep])
         return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b,
-             "overlap": pd.array(out_ov, dtype="int64")}
+            {"id_a": np.concatenate(out_a_parts),
+             "id_b": np.concatenate(out_b_parts),
+             "overlap": pd.array(np.concatenate(out_ov_parts), dtype="int64")}
         )
 
     cand = (
