@@ -43,6 +43,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} <= {"i", "u", "f"}:
+                # The driver's value hasher is dtype-sensitive: int64 12 vs
+                # float64 12.0 hash-mismatch even when values agree (round-2
+                # per_type_accuracy failure mode). Surface it here.
+                problems.append(f"col {c}: dtype kind ray={av.dtype} sql={bv.dtype}")
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = av.astype(np.float64)
                 bv = bv.astype(np.float64)
