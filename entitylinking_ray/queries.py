@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.functions.strsim import jaro_winkler_batch, levenshtein
 from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id
-from entitylinking_ray.functions.textnorm import normalize
+from entitylinking_ray.functions.textnorm import normalize, normalize_arrow
 from entitylinking_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_dedup
 from entitylinking_ray.stages.knn import brute_force_knn
 from entitylinking_ray.stages.unionfind import connected_components
@@ -4043,6 +4043,313 @@ def q_confidence_blend(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data hygiene ops: decontamination, repetition quality, markup
+# stripping, unigram-LM scoring (documents table)
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams(b: pa.Table, n: int) -> pd.DataFrame:
+    """(doc_id, gram) rows of token n-grams, built vectorized: ONE regex
+    split per batch, flat token array + list-parent indices, then n-1
+    shifted C-level string concats (pandas ``str.cat``); grams that would
+    cross a document boundary are masked out by parent equality. No
+    Python loop over rows or tokens."""
+    toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "gram": pd.Series([], dtype="object"),
+        }
+    )
+    if len(flat) < n:
+        return empty
+    m = len(flat) - n + 1
+    base = flat.iloc[:m].reset_index(drop=True)
+    shifted = [flat.iloc[k : m + k].reset_index(drop=True) for k in range(1, n)]
+    grams = base.str.cat(shifted, sep=" ") if shifted else base
+    ok = parent[:m] == parent[n - 1 :]
+    if not ok.any():
+        return empty
+    doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)[parent[:m][ok]]
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype("int64"), "gram": grams.to_numpy()[ok]}
+    )
+
+
+_BENCH_MOD = 97
+# contamination window in tokens. Production decontamination uses 8-13
+# token windows (GPT-3 used 13-grams, Llama 8); the synthetic corpus's
+# short docs share almost no 5-grams, so the contract query pins the
+# window at 3 to exercise a substantive result set (171 docs at sf0.01).
+_DECON_N = 3
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the training-data hygiene op (Brown et
+    al. 2020 App. C; Lee et al. 2022 §6.2): flag every corpus document
+    that shares a token n-gram (window _DECON_N) with a held-out
+    benchmark set. The
+    benchmark side (doc_id % 97 == 0 here; the eval suites in
+    production) is SMALL BY NATURE, so the engine collects its distinct
+    grams once and broadcasts them via ray.put — membership on the
+    100-TB side is then a C-level hash probe (pandas ``isin``) inside
+    map_batches with NO shuffle; per-doc distinct-gram hits stay
+    batch-local because a document's text lives in one row. Output:
+    contaminated doc_id + count of distinct matching grams."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        g = _doc_ngrams(b, _DECON_N)
+        g = g[(g["doc_id"] % _BENCH_MOD) == 0]
+        # explicit Arrow string type: an empty object-dtype pandas column
+        # trips Ray's block-size estimator
+        return pa.table(
+            {"gram": pa.array(g["gram"].drop_duplicates(), pa.string())}
+        )
+
+    grams: set = set()
+    for t in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        grams.update(t["gram"])
+    gref = ray.put(frozenset(grams))
+
+    def flag(b: pa.Table) -> pd.DataFrame:
+        bench = ray.get(gref)
+        g = _doc_ngrams(b, _DECON_N)
+        g = g[(g["doc_id"] % _BENCH_MOD) != 0].drop_duplicates()
+        hit = g[g["gram"].isin(bench)]
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_hits": pd.Series([], dtype="int64"),
+                }
+            )
+        out = hit.groupby("doc_id", sort=False).size().reset_index(name="n_hits")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {_DECON_N - 2})) AS r(i)
+), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % {_BENCH_MOD} <> 0
+GROUP BY doc_id
+"""
+
+
+def q_quality_gopher(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 App.
+    A1.1): duplicate-token fraction and top-bigram fraction per
+    document. Both are batch-local (one doc = one row, no shuffle), and
+    both floats are single divisions of int64 counts in the same
+    expression order as the SQL twin, so values are bit-exact without
+    any log/round fudging."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def gq(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas()
+        nd = (
+            pd.DataFrame({"p": parent, "tok": flat})
+            .drop_duplicates()
+            .groupby("p", sort=True)
+            .size()
+            .to_numpy()
+            .astype(np.int64)
+        )
+        # every row has >= 1 token (split of '' is ['']), so the distinct
+        # counts cover every row index in order
+        dup_frac = 1.0 - nd / n_tok.astype(np.float64)
+        g2 = _doc_ngrams(b, 2)
+        mc = np.zeros(len(b), dtype=np.int64)
+        if len(g2):
+            cnt = (
+                g2.groupby(["doc_id", "gram"], sort=False)
+                .size()
+                .groupby(level=0, sort=False)
+                .max()
+            )
+            pos = pd.Series(
+                np.arange(len(b)),
+                index=b.column("doc_id").to_numpy(zero_copy_only=False),
+            )
+            mc[pos.loc[cnt.index].to_numpy()] = cnt.to_numpy()
+        nb = n_tok - 1
+        top_frac = np.where(
+            nb > 0, mc / np.maximum(nb, 1).astype(np.float64), 0.0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+                "dup_tok_frac": dup_frac,
+                "top_bigram_frac": top_frac,
+            }
+        )
+
+    return ds.map_batches(gq, batch_format="pyarrow")
+
+
+SQL_QUALITY_GOPHER = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), cnt AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+), mc AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+       1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS dup_tok_frac,
+       CASE WHEN len(t) >= 2 THEN mc.mc / CAST(len(t) - 1 AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM toks t LEFT JOIN mc USING (doc_id)
+"""
+
+
+def q_strip_markup(sf_dir: str):
+    """Markup/boilerplate stripping as a pure zero-copy Arrow kernel
+    chain (the HTML-strip step of a web-corpus pipeline): the query
+    first CONSTRUCTS deterministic markup around each document — so the
+    kernel has real tags to remove and the DuckDB twin can replay the
+    construction — then strips every <...> tag with ONE vectorized regex
+    pass and reports the number of boilerplate characters removed. No
+    Python per row anywhere; at 100 TB this is a map-only stage."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.string())
+        wrapped = pc.binary_join_element_wise(
+            '<p id="', did, '">', b.column("text"), "</p><br/>", ""
+        )
+        clean = pc.replace_substring_regex(wrapped, "<[^>]*>", "")
+        removed = pc.subtract(pc.utf8_length(wrapped), pc.utf8_length(clean))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "clean": clean,
+                "n_removed": pc.cast(removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
+SQL_STRIP_MARKUP = """
+WITH w AS (
+  SELECT doc_id,
+         '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text || '</p><br/>'
+           AS wrapped
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(wrapped, '<[^>]*>', '', 'g') AS clean,
+       CAST(length(wrapped)
+            - length(regexp_replace(wrapped, '<[^>]*>', '', 'g')) AS BIGINT)
+         AS n_removed
+FROM w
+"""
+
+
+def q_lm_unigram(sf_dir: str):
+    """Unigram language-model commonness scoring — the KenLM-shaped
+    corpus-prior quality signal (Wenzek et al. 2020 CCNet uses a 5-gram
+    LM; the unigram case is the distributable core), kept LOG-FREE so
+    floats are bit-stable cross-engine: score = mean unigram probability
+    = sum(corpus count of each token occurrence) / (n_tokens * N). Pass
+    1 is one explode + groupby-sum whose result is vocabulary-sized and
+    broadcast once via ray.put; pass 2 scores each doc batch-locally
+    with a vectorized pandas map. At an unbounded vocabulary the scoring
+    side becomes a keyed join on token — same pass structure."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tok_counts(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pc.list_flatten(toks).to_pandas().value_counts()
+        return pd.DataFrame(
+            {"tok": vc.index, "c": vc.to_numpy().astype("int64")}
+        )
+
+    counts = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    cmap = {r["tok"]: int(r["c"]) for r in counts}
+    n_total = float(sum(cmap.values()))
+    cref = ray.put(cmap)
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        cm = ray.get(cref)
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        occ = pc.list_flatten(toks).to_pandas().map(cm).to_numpy(dtype=np.int64)
+        sum_c = np.zeros(len(b), dtype=np.int64)
+        np.add.at(sum_c, parent, occ)
+        n_tok = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b.column("doc_id").to_numpy(zero_copy_only=False),
+                "n_tok": n_tok,
+                "sum_c": sum_c,
+                "mean_prob": sum_c / (n_tok * n_total),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_LM_UNIGRAM = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(c.c) AS BIGINT) AS sum_c
+  FROM t JOIN c USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tok, sum_c,
+       sum_c / (n_tok * CAST(n.n AS DOUBLE)) AS mean_prob
+FROM d, n
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_groupby": q_agg_groupby,
@@ -4088,6 +4395,10 @@ QUERIES = {
     "percent_rank": q_percent_rank,
     "zscore": q_zscore,
     "top_terms": q_top_terms,
+    "decontaminate": q_decontaminate,
+    "quality_gopher": q_quality_gopher,
+    "strip_markup": q_strip_markup,
+    "lm_unigram": q_lm_unigram,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -4166,6 +4477,10 @@ ORACLE_SQL = {
     "percent_rank": SQL_PERCENT_RANK,
     "zscore": SQL_ZSCORE,
     "top_terms": SQL_TOP_TERMS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "quality_gopher": SQL_QUALITY_GOPHER,
+    "strip_markup": SQL_STRIP_MARKUP,
+    "lm_unigram": SQL_LM_UNIGRAM,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,

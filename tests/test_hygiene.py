@@ -1,0 +1,134 @@
+"""Training-data hygiene ops: n-gram machinery, decontamination,
+Gopher repetition signals, markup stripping, unigram-LM scoring."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from entitylinking_ray.queries import _doc_ngrams
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+def test_doc_ngrams_basic():
+    g = _doc_ngrams(_tbl(["a b c d", "x y"]), 3)
+    got = sorted(zip(g["doc_id"], g["gram"]))
+    assert got == [(0, "a b c"), (0, "b c d")]
+
+
+def test_doc_ngrams_no_cross_doc_grams():
+    # trigram window never spans the boundary between doc 0 and doc 1
+    g = _doc_ngrams(_tbl(["a b", "c d"]), 3)
+    assert len(g) == 0
+    g2 = _doc_ngrams(_tbl(["a b", "c d"]), 2)
+    assert sorted(g2["gram"]) == ["a b", "c d"]
+
+
+def test_doc_ngrams_normalizes():
+    g = _doc_ngrams(_tbl(["  Big\tDATA  pipe "]), 2)
+    assert sorted(g["gram"]) == ["big data", "data pipe"]
+
+
+def test_doc_ngrams_unigram_and_empty():
+    g = _doc_ngrams(_tbl(["a b"]), 1)
+    assert sorted(g["gram"]) == ["a", "b"]
+    # empty text -> [''] single token -> no bigrams
+    g2 = _doc_ngrams(_tbl([""]), 2)
+    assert len(g2) == 0
+
+
+def test_decontaminate_flags_shared_grams(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import _BENCH_MOD, q_decontaminate
+
+    # doc 0 is the benchmark (0 % 97 == 0); doc 1 copies one of its
+    # trigrams, doc 2 shares nothing
+    pq.write_table(
+        _tbl(
+            [
+                "alpha beta gamma delta",
+                "zz alpha beta gamma yy",
+                "one two three four five",
+            ],
+            ids=[0, 1, 2],
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q_decontaminate(str(tmp_path)).to_pandas()
+    # exactly one shared trigram: "alpha beta gamma"
+    assert out.to_dict("records") == [{"doc_id": 1, "n_hits": 1}]
+    assert _BENCH_MOD == 97
+
+
+def test_quality_gopher_signals(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import q_quality_gopher
+
+    pq.write_table(
+        _tbl(["spam spam spam spam", "all words differ here", "solo"]),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        q_quality_gopher(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 0: 4 tokens, 1 distinct -> dup 0.75; top bigram "spam spam" 3/3
+    assert out.loc[0, "dup_tok_frac"] == pytest.approx(0.75)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(1.0)
+    # doc 1: all distinct -> dup 0.0; every bigram unique -> 1/3
+    assert out.loc[1, "dup_tok_frac"] == 0.0
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(1.0 / 3.0)
+    # doc 2: single token -> both zero
+    assert out.loc[2, "dup_tok_frac"] == 0.0
+    assert out.loc[2, "top_bigram_frac"] == 0.0
+
+
+def test_strip_markup_removes_all_tags(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import q_strip_markup
+
+    pq.write_table(_tbl(["hello world", ""]), tmp_path / "documents.parquet")
+    out = (
+        q_strip_markup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["clean"]) == ["hello world", ""]
+    assert "<" not in "".join(out["clean"])
+    # removed chars = len('<p id="N">') + len('</p><br/>')
+    assert out.loc[0, "n_removed"] == len('<p id="0">') + len("</p><br/>")
+
+
+def test_lm_unigram_scores(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import q_lm_unigram
+
+    # corpus: 'the' appears 3x, 'cat'/'dog'/'runs' once each; N = 6
+    pq.write_table(
+        _tbl(["the cat the", "the dog runs"]), tmp_path / "documents.parquet"
+    )
+    out = (
+        q_lm_unigram(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tok"]) == [3, 3]
+    # doc 0: c(the)+c(cat)+c(the) = 3+1+3 = 7; doc 1: 3+1+1 = 5
+    assert list(out["sum_c"]) == [7, 5]
+    assert out.loc[0, "mean_prob"] == pytest.approx(7 / 18)
+    assert out.loc[1, "mean_prob"] == pytest.approx(5 / 18)
+    # the common-word doc scores higher: the signal orders docs by
+    # corpus-typicality exactly like a unigram LM would
+    assert out.loc[0, "mean_prob"] > out.loc[1, "mean_prob"]
