@@ -4350,6 +4350,61 @@ FROM d, n
 """
 
 
+def q_sequence_pack(sf_dir: str):
+    """Context-window sequence packing — the step before tokenizer
+    sharding in an LLM data pipeline: each document goes to shard
+    floor(prefix_tokens / 512) where prefix_tokens is the global running
+    token count over doc_id order. The global scan is the two-level
+    distributed prefix sum of ``stages/prefix.py`` (one narrow shuffle of
+    per-bucket partials + a tiny driver cumsum broadcast back); the
+    bucket width here (64) is shrunk so the 500-doc contract input
+    exercises multiple buckets — at 10^12 docs the default 2^20 width
+    keeps the driver table around 10^6 rows."""
+    from entitylinking_ray.stages.prefix import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def ntok(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tok": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    packed = pack_sequences(
+        ds.map_batches(ntok, batch_format="pyarrow"),
+        key_col="doc_id",
+        weight_col="n_tok",
+        budget=512,
+        bucket_width=64,
+    )
+    return packed.select_columns(
+        ["doc_id", "n_tok", "exclusive_prefix", "shard_id"]
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS exclusive_prefix
+  FROM t
+)
+SELECT doc_id, n_tok, exclusive_prefix,
+       CAST(floor(exclusive_prefix / 512.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "agg_groupby": q_agg_groupby,
@@ -4399,6 +4454,7 @@ QUERIES = {
     "quality_gopher": q_quality_gopher,
     "strip_markup": q_strip_markup,
     "lm_unigram": q_lm_unigram,
+    "sequence_pack": q_sequence_pack,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -4481,6 +4537,7 @@ ORACLE_SQL = {
     "quality_gopher": SQL_QUALITY_GOPHER,
     "strip_markup": SQL_STRIP_MARKUP,
     "lm_unigram": SQL_LM_UNIGRAM,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,

@@ -132,3 +132,61 @@ def test_lm_unigram_scores(ray_session, tmp_path):
     # the common-word doc scores higher: the signal orders docs by
     # corpus-typicality exactly like a unigram LM would
     assert out.loc[0, "mean_prob"] > out.loc[1, "mean_prob"]
+
+
+def test_prefix_sums_match_serial_cumsum(ray_session):
+    import ray.data
+
+    from entitylinking_ray.stages.prefix import pack_sequences, prefix_sums
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    w = rng.integers(1, 50, n)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(n, dtype=np.int64), "w": w.astype(np.int64)})
+    )
+    out = (
+        prefix_sums(ds, "k", "w", bucket_width=37)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = np.concatenate(([0], np.cumsum(w)[:-1]))
+    assert (out["exclusive_prefix"].to_numpy() == expect).all()
+
+    # bucket width must not change the result
+    out2 = (
+        prefix_sums(ds, "k", "w", bucket_width=1 << 20)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (out2["exclusive_prefix"].to_numpy() == expect).all()
+
+    packed = (
+        pack_sequences(ds, "k", "w", budget=100, bucket_width=37)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    shards = packed["shard_id"].to_numpy()
+    assert (shards == expect // 100).all()
+    # shards are nondecreasing in key order and start at 0
+    assert shards[0] == 0 and (np.diff(shards) >= 0).all()
+
+
+def test_prefix_sums_sparse_keys(ray_session):
+    import ray.data
+
+    from entitylinking_ray.stages.prefix import prefix_sums
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"k": np.array([5, 100, 3, 70], dtype=np.int64),
+             "w": np.array([10, 1, 7, 2], dtype=np.int64)}
+        )
+    )
+    out = prefix_sums(ds, "k", "w", bucket_width=8).to_pandas()
+    got = dict(zip(out["k"], out["exclusive_prefix"]))
+    # order by key: 3(w7), 5(w10), 70(w2), 100(w1)
+    assert got == {3: 0, 5: 7, 70: 17, 100: 19}
