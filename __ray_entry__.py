@@ -7,9 +7,10 @@ here (or in the ``entitylinking_ray`` library) calls ``ray.init()`` /
 - ``entry()``: flagship entity-resolution pipeline over the canonical
   interleaved text+media corpus, sized from the sf0.001 documents table.
 - ``queries()``: one callable per implemented operator/pipeline from
-  SURVEY.md §2 — 47 pipelines (see ``entitylinking_ray.queries``).
+  SURVEY.md §2 plus the engine's training-data additions — 85
+  pipelines (see ``entitylinking_ray.queries``).
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics
-  are SQL-expressible — 33 twins (rows-only checks otherwise).
+  are SQL-expressible — 65 twins (rows-only checks otherwise).
 """
 
 from __future__ import annotations
