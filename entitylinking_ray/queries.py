@@ -65,6 +65,15 @@ def _nparts(rows_hint: int | None = None) -> int:
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+# decontamination parameters (q_decontaminate / q_prepare_corpus):
+# benchmark set = doc_id % _BENCH_MOD == 0; contamination window in
+# tokens. Production decontamination uses 8-13 token windows (GPT-3
+# used 13-grams, Llama 8); the synthetic corpus's short docs share
+# almost no 5-grams, so the contract queries pin the window at 3 to
+# exercise a substantive result set (171 docs at sf0.01).
+_BENCH_MOD = 97
+_DECON_N = 3
+
 
 # ---------------------------------------------------------------------------
 # relational operator coverage (M/A/J/K/D ops on the TPC-H-ish tables)
@@ -1886,6 +1895,88 @@ QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(norm))
 
 
 SQL_CURATE = _curate_sql()
+
+
+def q_prepare_corpus(sf_dir: str):
+    """THE composed pre-training data pipeline, end to end and fully
+    SQL-oracled: curation (quality + language + length filter, exact
+    first-wins dedup) -> benchmark decontamination (drop the benchmark
+    docs themselves and every doc sharing an n-gram with them) ->
+    context-window sequence packing (512-token shards via the
+    distributed prefix sum). Three engine stages compose lazily into one
+    streaming Ray pipeline: the only shuffles are the fingerprint-bucket
+    dedup, the tiny prefix bucket-partials pass, and the per-bucket
+    scan; the contamination set rides a ray.put broadcast (it is
+    benchmark-overlap sized — small by nature)."""
+    from entitylinking_ray.pipelines.curation import curate_corpus
+    from entitylinking_ray.stages.prefix import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    curated = curate_corpus(ds, min_quality=0.5, lang="en", min_tokens=10)
+
+    bad: set = set()
+    for t in q_decontaminate(sf_dir).iter_batches(batch_format="pandas"):
+        bad.update(int(x) for x in t["doc_id"])
+    bref = ray.put(frozenset(bad))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (ids % _BENCH_MOD) != 0
+        contaminated = ray.get(bref)
+        if contaminated:
+            keep &= ~pd.Series(ids).isin(contaminated).to_numpy()
+        return b.filter(pa.array(keep)).select(["doc_id", "n_tokens"])
+
+    packed = pack_sequences(
+        curated.map_batches(survivors, batch_format="pyarrow"),
+        key_col="doc_id",
+        weight_col="n_tokens",
+        budget=512,
+        bucket_width=64,
+    )
+    return packed.select_columns(
+        ["doc_id", "n_tokens", "exclusive_prefix", "shard_id"]
+    )
+
+
+def _prepare_sql() -> str:
+    # reuse the curate CTE chain (everything before its outer SELECT),
+    # re-expressing the curate output as one more CTE
+    head = _curate_sql().split(
+        "SELECT doc_id, lang_pred, n_tokens, quality", 1
+    )[0]
+    return f"""{head.rstrip()}, curated AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM labeled
+  WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 10
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(norm))
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {_DECON_N - 2})) AS r(i)
+), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+  WHERE doc_id % {_BENCH_MOD} <> 0
+), survivors AS (
+  SELECT doc_id, n_tokens FROM curated
+  WHERE doc_id % {_BENCH_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS exclusive_prefix
+  FROM survivors
+)
+SELECT doc_id, n_tokens, exclusive_prefix,
+       CAST(floor(exclusive_prefix / 512.0) AS BIGINT) AS shard_id
+FROM packed
+"""
+
+
+SQL_PREPARE_CORPUS = _prepare_sql()
 
 
 def q_rollup(sf_dir: str):
@@ -4080,14 +4171,6 @@ def _doc_ngrams(b: pa.Table, n: int) -> pd.DataFrame:
     )
 
 
-_BENCH_MOD = 97
-# contamination window in tokens. Production decontamination uses 8-13
-# token windows (GPT-3 used 13-grams, Llama 8); the synthetic corpus's
-# short docs share almost no 5-grams, so the contract query pins the
-# window at 3 to exercise a substantive result set (171 docs at sf0.01).
-_DECON_N = 3
-
-
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — the training-data hygiene op (Brown et
     al. 2020 App. C; Lee et al. 2022 §6.2): flag every corpus document
@@ -4455,6 +4538,7 @@ QUERIES = {
     "strip_markup": q_strip_markup,
     "lm_unigram": q_lm_unigram,
     "sequence_pack": q_sequence_pack,
+    "prepare_corpus": q_prepare_corpus,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -4538,6 +4622,7 @@ ORACLE_SQL = {
     "strip_markup": SQL_STRIP_MARKUP,
     "lm_unigram": SQL_LM_UNIGRAM,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "prepare_corpus": SQL_PREPARE_CORPUS,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,

@@ -56,6 +56,17 @@ def prefix_sums(
         .aggregate(Sum("w", alias_name="total"))
         .take_all()
     )
+    if not totals:
+        # empty input: groupby().map_groups would lose the schema
+        # entirely; return a typed empty dataset instead
+        sch = ds.schema()
+        empty = pa.table(
+            {
+                n: pa.array([], t)
+                for n, t in zip(sch.names, sch.types)
+            }
+        ).append_column("exclusive_prefix", pa.array([], pa.int64()))
+        return ray.data.from_arrow(empty)
     totals.sort(key=lambda r: r["bucket"])
     carry: dict[int, int] = {}
     run = 0

@@ -190,3 +190,62 @@ def test_prefix_sums_sparse_keys(ray_session):
     got = dict(zip(out["k"], out["exclusive_prefix"]))
     # order by key: 3(w7), 5(w10), 70(w2), 100(w1)
     assert got == {3: 0, 5: 7, 70: 17, 100: 19}
+
+
+def test_prepare_corpus_matches_sql_twin(ray_session, tmp_path):
+    """End-to-end composed pipeline (curate -> decontaminate -> pack)
+    value-exact vs its DuckDB twin on a contrived corpus that exercises
+    every drop reason: low quality, wrong language, too short, duplicate
+    content, benchmark membership, contamination."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import SQL_PREPARE_CORPUS, q_prepare_corpus
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with many other distinct words in this long sentence number"
+    )
+    docs = []
+    # doc 0: benchmark member (0 % 97 == 0) — always excluded; its
+    # vocabulary is DISJOINT from the clean docs so only doc 2 shares
+    # a trigram with it
+    docs.append((0, "omega sigma lambda theta kappa zeta epsilon phi chi"))
+    # doc 1: clean survivor
+    docs.append((1, en + " one"))
+    # doc 2: contaminated — passes curation but copies the benchmark
+    # trigram "omega sigma lambda"
+    docs.append((2, "the quick brown fox omega sigma lambda and many other distinct words here"))
+    # doc 3: duplicate content of doc 1 (first-wins dedup keeps 1)
+    docs.append((3, en + " one"))
+    # doc 4: too short
+    docs.append((4, "tiny doc here"))
+    # doc 5: off-language (German markers)
+    docs.append((5, "der und die das ist nicht ein eine mit von zu auf"))
+    # doc 6: clean survivor with different length
+    docs.append((6, en + " six six six extra tokens to change the count"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [t for _, t in docs],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = (
+        q_prepare_corpus(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(SQL_PREPARE_CORPUS).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns) or sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the contrived corpus leaves exactly the two clean survivors
+    assert sorted(got["doc_id"]) == [1, 6]
+    assert (got["shard_id"] >= 0).all()
