@@ -22,6 +22,25 @@ import json
 import sys
 
 
+def _with_text(docs):
+    """Flatten the canonical interleaved spans table to a (doc_id, text)
+    column when needed (plain (doc_id, text) passes through)."""
+    names = docs.schema().names
+    if "text" in names or "spans" not in names:
+        return docs
+    import pyarrow as pa
+
+    def flat(b: pa.Table) -> pa.Table:
+        spans = b.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        rows = spans.to_pylist()
+        joined = [" ".join(s["text"] or "" for s in r or []) for r in rows]
+        return pa.table({"doc_id": b["doc_id"], "text": joined})
+
+    return docs.map_batches(flat, batch_format="pyarrow")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="entitylinking_ray")
     p.add_argument("--input", help="documents table (Parquet dir/file or .lance)")
@@ -47,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-quality", type=float, default=0.5)
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--lang", default="en")
+    p.add_argument(
+        "--prepare",
+        action="store_true",
+        help="run the full pre-training preparation pipeline (curate -> "
+        "benchmark decontamination -> token-budget sequence packing) and "
+        "write <workdir>/prepared/shard_id=<id>/ — hive-partitioned by "
+        "token-budget shard, committed atomically as one stage (the "
+        "pipeline crosses shuffles, which are not partially resumable); "
+        "a committed run re-submitted with the same arguments is a no-op",
+    )
+    p.add_argument("--budget", type=int, default=1 << 21,
+                   help="tokens per output shard (--prepare)")
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
@@ -79,7 +110,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             os.rename(input_path + ".tmp", input_path)
 
-    if args.curate:
+    if args.prepare:
+        import os
+
+        from entitylinking_ray.sources.documents import read_documents
+        from entitylinking_ray.stages.hygiene import prepare_corpus_packed
+
+        out_dir = os.path.join(args.workdir, "prepared")
+        if os.path.isdir(out_dir) and not args.no_resume:
+            summary = {"prepared_dir": out_dir, "resumed": True}
+        else:
+            docs = _with_text(read_documents(input_path))
+            packed = prepare_corpus_packed(
+                docs,
+                min_quality=args.min_quality,
+                lang=args.lang,
+                min_tokens=args.min_tokens,
+                budget=args.budget,
+            ).materialize()
+            n_rows = packed.count()
+            os.makedirs(out_dir + ".tmp", exist_ok=True)
+            if n_rows:
+                packed.write_parquet(
+                    out_dir + ".tmp", partition_cols=["shard_id"]
+                )
+            os.rename(out_dir + ".tmp", out_dir)
+            summary = {
+                "prepared_dir": out_dir,
+                "resumed": False,
+                "rows": n_rows,
+            }
+    elif args.curate:
         import os
 
         from entitylinking_ray.pipelines.curation import curate_corpus
@@ -89,25 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(out_dir) and not args.no_resume:
             summary = {"curated_dir": out_dir, "resumed": True}
         else:
-            docs = read_documents(input_path)
-            # the canonical interleaved table carries spans; flatten to a
-            # text column when needed (plain (doc_id, text) passes through)
-            names = docs.schema().names
-            if "text" not in names and "spans" in names:
-                import pyarrow as pa
-                import pyarrow.compute as pc
-
-                def flat(b: pa.Table) -> pa.Table:
-                    spans = b.column("spans")
-                    if isinstance(spans, pa.ChunkedArray):
-                        spans = spans.combine_chunks()
-                    rows = spans.to_pylist()
-                    joined = [
-                        " ".join(s["text"] or "" for s in r or []) for r in rows
-                    ]
-                    return pa.table({"doc_id": b["doc_id"], "text": joined})
-
-                docs = docs.map_batches(flat, batch_format="pyarrow")
+            docs = _with_text(read_documents(input_path))
             curated = curate_corpus(
                 docs,
                 min_quality=args.min_quality,

@@ -1903,41 +1903,23 @@ def q_prepare_corpus(sf_dir: str):
     first-wins dedup) -> benchmark decontamination (drop the benchmark
     docs themselves and every doc sharing an n-gram with them) ->
     context-window sequence packing (512-token shards via the
-    distributed prefix sum). Three engine stages compose lazily into one
-    streaming Ray pipeline: the only shuffles are the fingerprint-bucket
-    dedup, the tiny prefix bucket-partials pass, and the per-bucket
-    scan; the contamination set rides a ray.put broadcast (it is
-    benchmark-overlap sized — small by nature)."""
-    from entitylinking_ray.pipelines.curation import curate_corpus
-    from entitylinking_ray.stages.prefix import pack_sequences
-
+    distributed prefix sum). Stage logic:
+    stages/hygiene.prepare_corpus_packed; three engine stages compose
+    lazily into one streaming Ray pipeline whose only shuffles are the
+    fingerprint-bucket dedup, the tiny prefix bucket-partials pass, and
+    the per-bucket scan."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    curated = curate_corpus(ds, min_quality=0.5, lang="en", min_tokens=10)
-
-    bad: set = set()
-    for t in q_decontaminate(sf_dir).iter_batches(batch_format="pandas"):
-        bad.update(int(x) for x in t["doc_id"])
-    bref = ray.put(frozenset(bad))
-
-    def survivors(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = (ids % _BENCH_MOD) != 0
-        contaminated = ray.get(bref)
-        if contaminated:
-            keep &= ~pd.Series(ids).isin(contaminated).to_numpy()
-        return b.filter(pa.array(keep)).select(["doc_id", "n_tokens"])
-
-    packed = pack_sequences(
-        curated.map_batches(survivors, batch_format="pyarrow"),
-        key_col="doc_id",
-        weight_col="n_tokens",
+    return prepare_corpus_packed(
+        ds,
+        min_quality=0.5,
+        lang="en",
+        min_tokens=10,
+        bench_mod=_BENCH_MOD,
+        window=_DECON_N,
         budget=512,
         bucket_width=64,
-    )
-    return packed.select_columns(
-        ["doc_id", "n_tokens", "exclusive_prefix", "shard_id"]
     )
 
 
@@ -4136,90 +4118,30 @@ def q_confidence_blend(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # training-data hygiene ops: decontamination, repetition quality, markup
-# stripping, unigram-LM scoring (documents table)
+# stripping, unigram-LM scoring (documents table) — stage logic lives in
+# stages/hygiene.py; the queries here pin the contract parameters
 # ---------------------------------------------------------------------------
 
-def _doc_ngrams(b: pa.Table, n: int) -> pd.DataFrame:
-    """(doc_id, gram) rows of token n-grams, built vectorized: ONE regex
-    split per batch, flat token array + list-parent indices, then n-1
-    shifted C-level string concats (pandas ``str.cat``); grams that would
-    cross a document boundary are masked out by parent equality. No
-    Python loop over rows or tokens."""
-    toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(toks).to_pandas()
-    empty = pd.DataFrame(
-        {
-            "doc_id": pd.Series([], dtype="int64"),
-            "gram": pd.Series([], dtype="object"),
-        }
-    )
-    if len(flat) < n:
-        return empty
-    m = len(flat) - n + 1
-    base = flat.iloc[:m].reset_index(drop=True)
-    shifted = [flat.iloc[k : m + k].reset_index(drop=True) for k in range(1, n)]
-    grams = base.str.cat(shifted, sep=" ") if shifted else base
-    ok = parent[:m] == parent[n - 1 :]
-    if not ok.any():
-        return empty
-    doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)[parent[:m][ok]]
-    return pd.DataFrame(
-        {"doc_id": doc_ids.astype("int64"), "gram": grams.to_numpy()[ok]}
-    )
+from entitylinking_ray.stages.hygiene import (  # noqa: E402
+    contamination_hits,
+    doc_ngrams as _doc_ngrams,
+    prepare_corpus_packed,
+)
 
 
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination — the training-data hygiene op (Brown et
     al. 2020 App. C; Lee et al. 2022 §6.2): flag every corpus document
     that shares a token n-gram (window _DECON_N) with a held-out
-    benchmark set. The
-    benchmark side (doc_id % 97 == 0 here; the eval suites in
-    production) is SMALL BY NATURE, so the engine collects its distinct
-    grams once and broadcasts them via ray.put — membership on the
-    100-TB side is then a C-level hash probe (pandas ``isin``) inside
-    map_batches with NO shuffle; per-doc distinct-gram hits stay
-    batch-local because a document's text lives in one row. Output:
-    contaminated doc_id + count of distinct matching grams."""
+    benchmark set (doc_id % _BENCH_MOD == 0 here; the eval suites in
+    production). Stage logic: stages/hygiene.contamination_hits —
+    benchmark grams broadcast once, corpus side never shuffles."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def bench_grams(b: pa.Table) -> pa.Table:
-        g = _doc_ngrams(b, _DECON_N)
-        g = g[(g["doc_id"] % _BENCH_MOD) == 0]
-        # explicit Arrow string type: an empty object-dtype pandas column
-        # trips Ray's block-size estimator
-        return pa.table(
-            {"gram": pa.array(g["gram"].drop_duplicates(), pa.string())}
-        )
-
-    grams: set = set()
-    for t in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
-        batch_format="pandas"
-    ):
-        grams.update(t["gram"])
-    gref = ray.put(frozenset(grams))
-
-    def flag(b: pa.Table) -> pd.DataFrame:
-        bench = ray.get(gref)
-        g = _doc_ngrams(b, _DECON_N)
-        g = g[(g["doc_id"] % _BENCH_MOD) != 0].drop_duplicates()
-        hit = g[g["gram"].isin(bench)]
-        if len(hit) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "n_hits": pd.Series([], dtype="int64"),
-                }
-            )
-        out = hit.groupby("doc_id", sort=False).size().reset_index(name="n_hits")
-        out["n_hits"] = out["n_hits"].astype("int64")
-        return out
-
-    return ds.map_batches(flag, batch_format="pyarrow")
+    return contamination_hits(
+        ds, _DECON_N, lambda ids: (ids % _BENCH_MOD) == 0
+    )
 
 
 SQL_DECONTAMINATE = f"""

@@ -1,0 +1,192 @@
+"""Training-data hygiene stages: n-gram machinery, benchmark
+decontamination, and the composed prepare-corpus pipeline
+(curate -> decontaminate -> pack).
+
+Reference scope note: the reference repo has no data-hygiene layer (it
+links mentions one prompt at a time); these stages are the engine
+additions a 100-TB training-data pipeline needs (Lee et al. 2022 dedup;
+Brown et al. 2020 App. C decontamination; Rae et al. 2021 App. A1.1
+quality signals).
+
+Scale shapes:
+- ``doc_ngrams`` is batch-local and fully vectorized (one regex split,
+  flat tokens + parent indices, shifted C-level concats).
+- ``contamination_hits`` broadcasts the DISTINCT benchmark grams via one
+  ``ray.put`` — the benchmark side (eval suites) is small by nature —
+  and probes membership with pandas ``isin`` (a C-level hash probe)
+  inside ``map_batches``: the corpus side never shuffles.
+- ``prepare_corpus_packed`` composes curation, decontamination and
+  sequence packing into one lazy pipeline whose only shuffles are the
+  fingerprint-bucket dedup and the prefix bucket-partials pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from entitylinking_ray.functions.textnorm import normalize_arrow
+
+
+def stable_int_keys(ids: np.ndarray) -> np.ndarray:
+    """Deterministic int64 key per id: identity for integer ids, a
+    session-stable vectorized hash (pandas siphash with its fixed key)
+    for strings — collision odds at 2^63 are negligible for packing."""
+    if ids.dtype.kind in "iu":
+        return ids.astype(np.int64)
+    h = pd.util.hash_array(ids.astype(object), categorize=False)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def doc_ngrams(
+    b: pa.Table, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """(doc_id, gram) rows of token n-grams, built vectorized: ONE regex
+    split per batch, flat token array + list-parent indices, then n-1
+    shifted C-level string concats (pandas ``str.cat``); grams that would
+    cross a document boundary are masked out by parent equality. No
+    Python loop over rows or tokens."""
+    toks = pc.split_pattern(normalize_arrow(b.column(text_col)), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_pandas()
+    ids_pd = b.column(id_col).to_pandas()
+    empty = pd.DataFrame(
+        {
+            id_col: ids_pd.iloc[:0],
+            "gram": pd.Series([], dtype="object"),
+        }
+    )
+    if len(flat) < n:
+        return empty
+    m = len(flat) - n + 1
+    base = flat.iloc[:m].reset_index(drop=True)
+    shifted = [flat.iloc[k : m + k].reset_index(drop=True) for k in range(1, n)]
+    grams = base.str.cat(shifted, sep=" ") if shifted else base
+    ok = parent[:m] == parent[n - 1 :]
+    if not ok.any():
+        return empty
+    return pd.DataFrame(
+        {
+            id_col: ids_pd.to_numpy()[parent[:m][ok]],
+            "gram": grams.to_numpy()[ok],
+        }
+    )
+
+
+def _mod_bench(bench_mod: int) -> Callable[[np.ndarray], np.ndarray]:
+    def pred(ids: np.ndarray) -> np.ndarray:
+        return (stable_int_keys(ids) % bench_mod) == 0
+
+    return pred
+
+
+def contamination_hits(
+    ds: ray.data.Dataset,
+    n: int,
+    is_bench: Callable[[np.ndarray], np.ndarray],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_hits) for every NON-benchmark doc sharing >=1 token
+    n-gram with the benchmark docs (``is_bench``: vectorized id mask).
+    n_hits counts the doc's DISTINCT matching grams (batch-local:
+    a document's text lives in one row)."""
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        g = doc_ngrams(b, n, text_col, id_col)
+        g = g[is_bench(g[id_col].to_numpy())]
+        # explicit Arrow string type: an empty object-dtype pandas column
+        # trips Ray's block-size estimator
+        return pa.table(
+            {"gram": pa.array(g["gram"].drop_duplicates(), pa.string())}
+        )
+
+    grams: set = set()
+    for t in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        grams.update(t["gram"])
+    gref = ray.put(frozenset(grams))
+
+    def flag(b: pa.Table) -> pd.DataFrame:
+        bench = ray.get(gref)
+        g = doc_ngrams(b, n, text_col, id_col)
+        g = g[~is_bench(g[id_col].to_numpy())].drop_duplicates()
+        hit = g[g["gram"].isin(bench)]
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: b.column(id_col).to_pandas().iloc[:0],
+                    "n_hits": pd.Series([], dtype="int64"),
+                }
+            )
+        out = hit.groupby(id_col, sort=False).size().reset_index(name="n_hits")
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def prepare_corpus_packed(
+    ds: ray.data.Dataset,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    min_tokens: int = 10,
+    bench_mod: int = 97,
+    window: int = 3,
+    budget: int = 512,
+    bucket_width: int = 1 << 20,
+) -> ray.data.Dataset:
+    """documents -> (doc_id, n_tokens, exclusive_prefix, shard_id):
+    curation (quality + language + length filter, first-wins exact
+    dedup) -> benchmark decontamination (drop the benchmark docs and
+    every doc sharing an n-gram with them) -> token-budget sequence
+    packing. The contaminated-id set rides a ray.put broadcast (it is
+    benchmark-overlap sized — small by nature)."""
+    from entitylinking_ray.pipelines.curation import curate_corpus
+    from entitylinking_ray.stages.prefix import pack_sequences
+
+    is_bench = _mod_bench(bench_mod)
+    curated = curate_corpus(
+        ds, min_quality=min_quality, lang=lang, min_tokens=min_tokens
+    )
+
+    bad: set = set()
+    hits = contamination_hits(ds, window, is_bench)
+    for t in hits.iter_batches(batch_format="pandas"):
+        bad.update(t["doc_id"].tolist())
+    bref = ray.put(frozenset(bad))
+
+    def survivors(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ~is_bench(ids)
+        contaminated = ray.get(bref)
+        if contaminated:
+            keep &= ~pd.Series(ids).isin(contaminated).to_numpy()
+        out = b.filter(pa.array(keep)).select(["doc_id", "n_tokens"])
+        # integer ids pack in id order (bit-exact vs the SQL twin);
+        # string ids pack in stable-hash order via a derived key
+        kept_ids = out.column("doc_id").to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "pack_key", pa.array(stable_int_keys(kept_ids), pa.int64())
+        )
+
+    packed = pack_sequences(
+        curated.map_batches(survivors, batch_format="pyarrow"),
+        key_col="pack_key",
+        weight_col="n_tokens",
+        budget=budget,
+        bucket_width=bucket_width,
+    )
+    return packed.select_columns(
+        ["doc_id", "n_tokens", "exclusive_prefix", "shard_id"]
+    )

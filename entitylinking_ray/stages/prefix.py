@@ -59,13 +59,17 @@ def prefix_sums(
     if not totals:
         # empty input: groupby().map_groups would lose the schema
         # entirely; return a typed empty dataset instead
-        sch = ds.schema()
-        empty = pa.table(
-            {
-                n: pa.array([], t)
-                for n, t in zip(sch.names, sch.types)
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is not None and sch.names:
+            cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        else:  # fully-empty dataset with no recoverable schema
+            cols = {
+                key_col: pa.array([], pa.int64()),
+                weight_col: pa.array([], pa.int64()),
             }
-        ).append_column("exclusive_prefix", pa.array([], pa.int64()))
+        empty = pa.table(cols).append_column(
+            "exclusive_prefix", pa.array([], pa.int64())
+        )
         return ray.data.from_arrow(empty)
     totals.sort(key=lambda r: r["bucket"])
     carry: dict[int, int] = {}
@@ -82,6 +86,10 @@ def prefix_sums(
         )
 
     def intra(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # Ray may hand map_groups an empty block
+            out = g.drop(columns=["bucket"], errors="ignore")
+            out["exclusive_prefix"] = pd.Series([], dtype="int64")
+            return out
         c = ray.get(cref)
         g = g.sort_values(key_col, kind="stable").reset_index(drop=True)
         w = g[weight_col].to_numpy().astype(np.int64)

@@ -6,7 +6,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from entitylinking_ray.queries import _doc_ngrams
+from entitylinking_ray.stages.hygiene import doc_ngrams as _doc_ngrams
 
 
 def _tbl(texts, ids=None):
@@ -249,3 +249,39 @@ def test_prepare_corpus_matches_sql_twin(ray_session, tmp_path):
     # the contrived corpus leaves exactly the two clean survivors
     assert sorted(got["doc_id"]) == [1, 6]
     assert (got["shard_id"] >= 0).all()
+
+
+def test_prepare_packed_string_ids(ray_session):
+    """The interleaved span corpus has STRING doc ids: packing must key
+    on the derived stable int64 (stable_int_keys), preserve the original
+    id column, and produce budget-consistent shard assignments."""
+    from entitylinking_ray.__main__ import _with_text
+    from entitylinking_ray.sources.documents import synthesize_documents
+    from entitylinking_ray.stages.hygiene import (
+        prepare_corpus_packed,
+        stable_int_keys,
+    )
+
+    docs = _with_text(synthesize_documents(300, seed=1))
+    out = prepare_corpus_packed(
+        docs, min_quality=0.3, lang="en", min_tokens=5, budget=256
+    ).to_pandas()
+    assert len(out) > 0
+    assert out["doc_id"].dtype == object  # string ids preserved
+    keys = stable_int_keys(out["doc_id"].to_numpy())
+    o = np.argsort(keys, kind="stable")
+    pref = out["exclusive_prefix"].to_numpy()[o]
+    ntok = out["n_tok" if "n_tok" in out else "n_tokens"].to_numpy()[o]
+    # prefix sums are the exclusive cumsum in key order
+    assert (pref == np.concatenate(([0], np.cumsum(ntok)[:-1]))).all()
+    assert (out["shard_id"].to_numpy() == pref[np.argsort(o)] // 256).all()
+
+
+def test_stable_int_keys():
+    from entitylinking_ray.stages.hygiene import stable_int_keys
+
+    ints = np.array([3, 5, 9], dtype=np.int64)
+    assert (stable_int_keys(ints) == ints).all()
+    strs = np.array(["a", "b", "a"], dtype=object)
+    k = stable_int_keys(strs)
+    assert k[0] == k[2] and k[0] != k[1] and (k >= 0).all()
