@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "set_overlap_join",
     "rolling_sum",
     "pagerank",
+    "decontaminate",
+    "prepare_corpus",
 ]
 
 

@@ -90,3 +90,39 @@ def test_shingles_count(s):
     k = 3
     got = char_shingle_hashes(s, k)
     assert len(got) == max(1, len(s) - k + 1)
+
+
+# --- training-data hygiene kernels ---
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("ab c\tZ.")), min_size=0, max_size=40
+)
+
+
+@given(st.lists(_doc_text, min_size=1, max_size=6), st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_doc_ngrams_matches_naive(texts, n):
+    """Vectorized n-gram builder == per-doc Python reference."""
+    import pyarrow as pa
+
+    from entitylinking_ray.functions.textnorm import normalize
+    from entitylinking_ray.stages.hygiene import doc_ngrams
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = sorted(
+        zip(
+            doc_ngrams(tbl, n)["doc_id"].tolist(),
+            doc_ngrams(tbl, n)["gram"].tolist(),
+        )
+    )
+    want = []
+    for i, t in enumerate(texts):
+        toks = normalize(t).split(" ")
+        for j in range(len(toks) - n + 1):
+            want.append((i, " ".join(toks[j : j + n])))
+    assert got == sorted(want)
