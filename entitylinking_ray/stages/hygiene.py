@@ -95,15 +95,23 @@ def contamination_hits(
     is_bench: Callable[[np.ndarray], np.ndarray],
     text_col: str = "text",
     id_col: str = "doc_id",
+    bench_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(doc_id, n_hits) for every NON-benchmark doc sharing >=1 token
     n-gram with the benchmark docs (``is_bench``: vectorized id mask).
     n_hits counts the doc's DISTINCT matching grams (batch-local:
-    a document's text lives in one row)."""
+    a document's text lives in one row).
+
+    ``bench_ds``: pass the benchmark suite as its OWN (small) dataset in
+    production — then the gram-collection pass reads only it, not the
+    whole corpus. The default (derive the benchmark from ``ds`` rows
+    matching ``is_bench``) exists for the self-contained contract
+    queries and costs one extra full-corpus map pass."""
 
     def bench_grams(b: pa.Table) -> pa.Table:
         g = doc_ngrams(b, n, text_col, id_col)
-        g = g[is_bench(g[id_col].to_numpy())]
+        if bench_ds is None:
+            g = g[is_bench(g[id_col].to_numpy())]
         # explicit Arrow string type: an empty object-dtype pandas column
         # trips Ray's block-size estimator
         return pa.table(
@@ -111,7 +119,8 @@ def contamination_hits(
         )
 
     grams: set = set()
-    for t in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+    src = bench_ds if bench_ds is not None else ds
+    for t in src.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
         batch_format="pandas"
     ):
         grams.update(t["gram"])

@@ -285,3 +285,27 @@ def test_stable_int_keys():
     strs = np.array(["a", "b", "a"], dtype=object)
     k = stable_int_keys(strs)
     assert k[0] == k[2] and k[0] != k[1] and (k >= 0).all()
+
+
+def test_contamination_hits_separate_bench_ds(ray_session):
+    """Production shape: the benchmark suite is its own small dataset —
+    the gram pass reads only it; results match the derived-benchmark
+    path on equivalent data."""
+    import ray.data
+
+    from entitylinking_ray.stages.hygiene import contamination_hits
+
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta gamma delta"},
+            {"doc_id": 2, "text": "one two three four"},
+        ]
+    )
+    bench = ray.data.from_items(
+        [{"doc_id": 900, "text": "x alpha beta gamma y"}]
+    )
+    out = contamination_hits(
+        corpus, 3, lambda ids: np.zeros(len(ids), bool), bench_ds=bench
+    ).to_pandas()
+    # one shared trigram: "alpha beta gamma"
+    assert out.to_dict("records") == [{"doc_id": 1, "n_hits": 1}]
