@@ -3992,6 +3992,32 @@ def q_knn_ivf(sf_dir: str):
     return ivf_knn(corpus, queries, k=10, n_lists=16, n_probe=4, id_col="vec_id")
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (FAISS IVFPQ structure, Jégou et al. 2011): coarse
+    cells + product-quantized in-cell scoring via ADC lookup tables —
+    the memory-bounded production scale path (m bytes per vector instead
+    of 4d). Rows-only (approximate by design; recall vs brute force and
+    determinism pinned in pytest). The testdata embedding dim (16)
+    splits into m=4 subspaces of 4 dims."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.stages.knn import ivfpq_knn
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
+    queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    d = queries.shape[1]
+    m = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
+    )
+    return ivfpq_knn(
+        corpus, queries, k=10, n_lists=16, n_probe=4, m=m, ks=16, id_col="vec_id"
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: distinct media refs of the interleaved corpus
     -> image-decode actor pool (deterministic stub features). Rows-only."""
@@ -4489,6 +4515,7 @@ QUERIES = {
     "case_bucket": q_case_bucket,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivfpq": q_knn_ivfpq,
     "media_features": q_media_features,
     "media_decode_real": q_media_decode_real,
     "plackett_luce": q_plackett_luce,

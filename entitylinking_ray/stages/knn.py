@@ -349,3 +349,175 @@ def ivf_knn(
         Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def _lloyd(train: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain L2 Lloyd's k-means over a driver-side sample (deterministic
+    given the rng). Returns (k, d) centroids; empty clusters keep their
+    previous centroid."""
+    k = min(k, len(train))
+    cent = train[rng.choice(len(train), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (
+            (train * train).sum(axis=1)[:, None]
+            - 2.0 * (train @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = train[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivfpq_knn(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+) -> ray.data.Dataset:
+    """IVF-PQ approximate top-k — the production ANN scale path (FAISS
+    IVFPQ structure, Jégou et al. 2011): the coarse quantizer routes each
+    query to its n_probe nearest of n_lists cells exactly like
+    :func:`ivf_knn`, and WITHIN a probed cell the score is computed by
+    asymmetric distance computation over product-quantized codes: the
+    vector is split into m subspaces, each encoded as its nearest of ks
+    codewords (trained driver-side on a bounded sample), and a query's
+    inner product is approximated by m table lookups — cosine decomposes
+    exactly over subspaces, so only the codeword snap loses precision.
+
+    At scale this is THE memory lever: a d-dim float32 vector (4d bytes)
+    becomes m bytes of codes, so a 10^12-doc corpus's index fits a
+    cluster's RAM where raw vectors cannot. Codes here are recomputed per
+    batch from the broadcast codebooks (the corpus pass stays a single
+    vectorized map_batches); a materialized variant would write (id,
+    list, codes) once and scan only codes thereafter. Recall < IVF-Flat
+    by construction; rank ties broken by vec_id via the shared merge."""
+    queries = np.asarray(queries, dtype=np.float64)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+
+    # --- driver-side training on a bounded sample ---
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
+    d = train.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    # spherical k-means coarse quantizer (same shape as ivf_knn)
+    n_lists = min(n_lists, len(train))
+    cent = train[rng.choice(len(train), size=n_lists, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(1e-300, np.linalg.norm(v))
+    # per-subspace PQ codebooks (plain L2 k-means on the raw subvectors)
+    books = np.stack(
+        [
+            _lloyd(
+                train[:, j * dsub : (j + 1) * dsub],
+                ks,
+                kmeans_iters,
+                np.random.default_rng(seed + 1 + j),
+            )
+            for j in range(m)
+        ]
+    )  # (m, ks, dsub)
+
+    order = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in order[qi]:
+            list_to_q.setdefault(int(c), []).append(qi)
+    # ADC lookup tables: lut[qi, j, code] = q_j . codebook_j[code]
+    lut = np.einsum(
+        "qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), books
+    )  # (n_q, m, ks)
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+    l2q_ref = ray.put(list_to_q)
+    lut_ref = ray.put(lut)
+
+    class Partial:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+            self.books = ray.get(books_ref)
+            self.l2q = ray.get(l2q_ref)
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            mat = _batch_matrix(batch, vec_col)
+            norm = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            lists = np.argmax(norm @ self.cent.T, axis=1)
+            # PQ-encode the whole batch, one subspace at a time (argmin L2)
+            sub = norm.reshape(len(norm), -1)
+            codes = np.empty((len(norm), len(self.books)), dtype=np.int64)
+            dsub_ = self.books.shape[2]
+            for j in range(len(self.books)):
+                x = sub[:, j * dsub_ : (j + 1) * dsub_]
+                cb = self.books[j]
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            jidx = np.arange(len(self.books))
+            qidx, vidx, svals = [], [], []
+            for c, qs in self.l2q.items():
+                rows = np.nonzero(lists == c)[0]
+                if len(rows) == 0:
+                    continue
+                rc = codes[rows]  # (n_rows, m)
+                for qi in qs:
+                    s = self.lut[qi][jidx[None, :], rc].sum(axis=1)
+                    qidx.append(np.full(len(rows), qi, dtype=np.int64))
+                    vidx.append(rows)
+                    svals.append(s)
+            if not qidx:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], ids.type),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            take = pa.array(np.concatenate(vidx), pa.int64())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(qidx), pa.int64()),
+                    "vec_id": ids.take(take),
+                    "score": pa.array(np.concatenate(svals), pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+    return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")

