@@ -4381,6 +4381,69 @@ FROM d, n
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction — the scrubbing step of a web-corpus pipeline: mask
+    email addresses and long digit runs with typed placeholders, count
+    redactions per doc. The corpus has no organic PII, so the query first
+    CONSTRUCTS a deterministic contact line per document (replayable in
+    the DuckDB twin), then redacts with two vectorized regex passes —
+    map-only, zero-copy Arrow end to end."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def redact(b: pa.Table) -> pa.Table:
+        did = pc.cast(b.column("doc_id"), pa.string())
+        wrapped = pc.binary_join_element_wise(
+            b.column("text"),
+            " contact user",
+            did,
+            "@example.com or call 55512",
+            did,
+            ".",
+            "",
+        )
+        no_mail = pc.replace_substring_regex(
+            wrapped, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"
+        )
+        clean = pc.replace_substring_regex(no_mail, r"[0-9]{5,}", "<NUM>")
+        # count redactions by counting placeholders (bit-exact cross-engine)
+        n_redact = pc.add(
+            pc.count_substring(clean, "<EMAIL>"),
+            pc.count_substring(clean, "<NUM>"),
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "clean": clean,
+                "n_redact": pc.cast(n_redact, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+SQL_REDACT_PII = """
+WITH w AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 55512' || CAST(doc_id AS VARCHAR)
+              || '.' AS wrapped
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         regexp_replace(
+             regexp_replace(wrapped, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{5,}', '<NUM>', 'g') AS clean
+  FROM w
+)
+SELECT doc_id, clean,
+       CAST(len(string_split(clean, '<EMAIL>')) - 1
+            + len(string_split(clean, '<NUM>')) - 1 AS BIGINT) AS n_redact
+FROM r
+"""
+
+
 def q_sequence_pack(sf_dir: str):
     """Context-window sequence packing — the step before tokenizer
     sharding in an LLM data pipeline: each document goes to shard
@@ -4487,6 +4550,7 @@ QUERIES = {
     "lm_unigram": q_lm_unigram,
     "sequence_pack": q_sequence_pack,
     "prepare_corpus": q_prepare_corpus,
+    "redact_pii": q_redact_pii,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,
@@ -4572,6 +4636,7 @@ ORACLE_SQL = {
     "lm_unigram": SQL_LM_UNIGRAM,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "prepare_corpus": SQL_PREPARE_CORPUS,
+    "redact_pii": SQL_REDACT_PII,
     "quantiles": SQL_QUANTILES,
     "sample_hash": SQL_SAMPLE_HASH,
     "asof_join": SQL_ASOF_JOIN,
