@@ -4381,6 +4381,47 @@ FROM d, n
 """
 
 
+def q_split_leakage_free(sf_dir: str):
+    """Leakage-free train/test split — the dedup-aware version of
+    sample_hash (Lee et al. 2022 §6.1: near-duplicates straddling a
+    train/eval split inflate eval scores): documents are first clustered
+    by MinHash near-dedup, then the md5 split rule is applied to the
+    CLUSTER representative id, so every member of a near-dup cluster
+    lands in the same split. Rows-only (LSH clustering is probabilistic);
+    the no-straddle invariant is pinned in pytest. Output: (doc_id,
+    cluster, split)."""
+    import hashlib
+
+    from entitylinking_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    labels = minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
+
+    def split(b: pa.Table) -> pa.Table:
+        reps = b["dup_cluster"].to_pylist()
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(r).encode()).hexdigest()[:8], 16) % 100
+                for r in reps
+            ),
+            dtype=np.int64,
+            count=len(reps),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "cluster": b["dup_cluster"],
+                "split": pa.array(
+                    np.where(buckets < 20, "test", "train"), pa.string()
+                ),
+            }
+        )
+
+    return labels.map_batches(split, batch_format="pyarrow")
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction — the scrubbing step of a web-corpus pipeline: mask
     email addresses and long digit runs with typed placeholders, count
@@ -4551,6 +4592,7 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "prepare_corpus": q_prepare_corpus,
     "redact_pii": q_redact_pii,
+    "split_leakage_free": q_split_leakage_free,
     "quantiles": q_quantiles,
     "quantiles_sketch": q_quantiles_sketch,
     "sample_hash": q_sample_hash,

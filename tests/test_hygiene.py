@@ -309,3 +309,31 @@ def test_contamination_hits_separate_bench_ds(ray_session):
     ).to_pandas()
     # one shared trigram: "alpha beta gamma"
     assert out.to_dict("records") == [{"doc_id": 1, "n_hits": 1}]
+
+
+def test_split_leakage_free_no_straddle(ray_session, tmp_path):
+    """Near-dup cluster members never straddle the train/test split, and
+    the split rule matches sample_hash's md5 rule on the representative."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import q_split_leakage_free
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base + " extra", "completely different words here now",
+             base + " more", "another unrelated document entirely okay"]
+    pq.write_table(_tbl(texts), tmp_path / "documents.parquet")
+    out = q_split_leakage_free(str(tmp_path)).to_pandas()
+    assert len(out) == len(texts)
+    # every cluster maps to exactly one split
+    per_cluster = out.groupby("cluster")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # split of each row == md5 rule applied to its cluster representative
+    for _, r in out.iterrows():
+        b = int(hashlib.md5(str(r["cluster"]).encode()).hexdigest()[:8], 16) % 100
+        assert r["split"] == ("test" if b < 20 else "train")
+    # near-dups of the base text share one cluster
+    clusters = {str(k): v for k, v in zip(out["doc_id"], out["cluster"])}
+    assert clusters["0"] == clusters["1"] == clusters["3"]
+    assert clusters["2"] != clusters["0"]
