@@ -199,3 +199,69 @@ def prepare_corpus_packed(
     return packed.select_columns(
         ["doc_id", "n_tokens", "exclusive_prefix", "shard_id"]
     )
+
+
+def contamination_hits_join(
+    ds: ray.data.Dataset,
+    n: int,
+    is_bench: Callable[[np.ndarray], np.ndarray],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_ds: ray.data.Dataset | None = None,
+    n_grams_hint: int = 1 << 20,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """No-broadcast decontamination — the scale path for benchmark-gram
+    sets too big to ship as a frozenset: the bench grams' BLOOM bitmap is
+    built distributed (per-block partials, OR-merge tree — n_bits/8 bytes
+    per merge step, never the key set), corpus grams are pruned by bloom
+    membership inside map_batches, and the tiny surviving set is verified
+    EXACTLY against the distinct bench-gram table by the bloom semi join
+    (no false positives survive). Same output as
+    :func:`contamination_hits`; equality is pinned in pytest."""
+    from ray.data.aggregate import Count
+
+    from entitylinking_ray.stages.joins import semi_join_bloom
+
+    src = bench_ds if bench_ds is not None else ds
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        g = doc_ngrams(b, n, text_col, id_col)
+        if bench_ds is None:
+            g = g[is_bench(g[id_col].to_numpy())]
+        return pa.table(
+            {"gram": pa.array(g["gram"].drop_duplicates(), pa.string())}
+        )
+
+    def corpus_grams(b: pa.Table) -> pa.Table:
+        g = doc_ngrams(b, n, text_col, id_col)
+        g = g[~is_bench(g[id_col].to_numpy())].drop_duplicates()
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col]),
+                "gram": pa.array(g["gram"], pa.string()),
+            }
+        )
+
+    bench_gram_ds = src.map_batches(bench_grams, batch_format="pyarrow")
+    grams_ds = ds.map_batches(corpus_grams, batch_format="pyarrow")
+    matched = semi_join_bloom(
+        grams_ds,
+        bench_gram_ds,
+        left_key="gram",
+        right_key="gram",
+        left_cols=[id_col, "gram"],
+        n_items_hint=n_grams_hint,
+        fpp=fpp,
+    )
+    hits = matched.groupby(id_col).aggregate(Count(alias_name="n_hits"))
+
+    def as_int64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_hits": pc.cast(b.column("n_hits"), pa.int64()),
+            }
+        )
+
+    return hits.map_batches(as_int64, batch_format="pyarrow")

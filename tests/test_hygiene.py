@@ -337,3 +337,39 @@ def test_split_leakage_free_no_straddle(ray_session, tmp_path):
     clusters = {str(k): v for k, v in zip(out["doc_id"], out["cluster"])}
     assert clusters["0"] == clusters["1"] == clusters["3"]
     assert clusters["2"] != clusters["0"]
+
+
+def test_contamination_join_path_equals_broadcast(ray_session, tmp_path):
+    """The no-broadcast scale path (bloom prune + exact semi-join verify)
+    returns exactly the broadcast path's hits on the same corpus."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.queries import q_decontaminate
+    from entitylinking_ray.stages.hygiene import (
+        _mod_bench,
+        contamination_hits_join,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "zz alpha beta gamma yy",
+        "one two three four five",
+        "beta gamma delta oh my",
+    ]
+    pq.write_table(_tbl(texts), tmp_path / "documents.parquet")
+    want = (
+        q_decontaminate(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import ray.data
+
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    got = (
+        contamination_hits_join(ds, 3, _mod_bench(97), n_grams_hint=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("records") == want.to_dict("records")
