@@ -178,10 +178,13 @@ def q_join_dims(sf_dir: str):
     lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
 
     class AddRegion:
+        # task-mode callable; broadcast lookup resolved lazily from plasma
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.lookup = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.lookup is None:
+                self.lookup = ray.get(lookup_ref)
             keys = b["c_nationkey"].to_pylist()
             rname = [self.lookup[k] for k in keys]
             return pa.table(
@@ -195,7 +198,7 @@ def q_join_dims(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
     )
     out = (
-        cust.map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 4))
+        cust.map_batches(AddRegion(), batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"), Sum("bal_c", alias_name="bal_c"))
     )
@@ -297,14 +300,16 @@ def q_semi_join(sf_dir: str):
 
     class SemiFilter:
         def __init__(self):
-            self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
+            self.keys = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
             return b.filter(pc.is_in(b["c_custkey"], value_set=self.keys))
 
     return ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(SemiFilter, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(SemiFilter(), batch_format="pyarrow")
 
 
 SQL_SEMI_JOIN = """
@@ -328,14 +333,16 @@ def q_anti_join(sf_dir: str):
 
     class AntiFilter:
         def __init__(self):
-            self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
+            self.keys = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
             return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=self.keys)))
 
     return ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(AntiFilter(), batch_format="pyarrow")
 
 
 SQL_ANTI_JOIN = """
@@ -760,11 +767,13 @@ def q_jaro_winkler(sf_dir: str):
 
     class CrossJW:
         def __init__(self):
-            keys, names = ray.get(ref)
-            self.keys = np.asarray(keys, dtype=np.int64)
-            self.names = np.asarray(names, dtype=object)
+            self.keys = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.keys is None:
+                keys, names = ray.get(ref)
+                self.keys = np.asarray(keys, dtype=np.int64)
+                self.names = np.asarray(names, dtype=object)
             # vectorized (i, j>i) pair index generation for the batch's
             # row indices — no Python pair loop
             idx = b["i"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -796,7 +805,7 @@ def q_jaro_winkler(sf_dir: str):
     idx = ray.data.range(len(keys)).map_batches(
         lambda b: pa.table({"i": b["id"]}), batch_format="pyarrow"
     )
-    return idx.map_batches(CrossJW, batch_format="pyarrow", concurrency=(1, 4))
+    return idx.map_batches(CrossJW(), batch_format="pyarrow")
 
 
 SQL_JARO_WINKLER = """
@@ -3512,9 +3521,11 @@ def q_revenue_by_nation(sf_dir: str):
 
     class AddNation:
         def __init__(self):
-            self.c2n = ray.get(cref)
+            self.c2n = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.c2n is None:
+                self.c2n = ray.get(cref)
             names = [self.c2n.get(int(c)) for c in b["o_custkey"].to_pylist()]
             mask = pa.array([n is not None for n in names])
             t = pa.table(
@@ -3526,7 +3537,7 @@ def q_revenue_by_nation(sf_dir: str):
             return t.filter(mask)
 
     agg = (
-        j.map_batches(AddNation, batch_format="pyarrow", concurrency=(1, 4))
+        j.map_batches(AddNation(), batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
@@ -3575,9 +3586,11 @@ def q_group_minmax(sf_dir: str):
 
     class Norm:
         def __init__(self):
-            self.lut = ray.get(ref)
+            self.lut = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.lut is None:
+                self.lut = ray.get(ref)
             flags = b["l_returnflag"].to_pylist()
             q = b["l_quantity"].to_numpy(zero_copy_only=False)
             lo = np.array([self.lut[f][0] for f in flags])
@@ -3591,7 +3604,7 @@ def q_group_minmax(sf_dir: str):
                 }
             )
 
-    return ds.map_batches(Norm, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Norm(), batch_format="pyarrow")
 
 
 SQL_GROUP_MINMAX = """

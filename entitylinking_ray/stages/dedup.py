@@ -338,16 +338,13 @@ def minhash_dedup(
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
     cfg = config or EngineConfig()
+    # tasks, not an actor pool: the callable's only __init__ state is the
+    # tiny perm-param pair (serialized once with the instance), and an
+    # autoscaling pool adds a fixed ramp-up term that does not shrink
+    # with CPU count (see extract_signatures for the measurement)
     buckets = ds.map_batches(
-        _MinHashSigs,
-        fn_constructor_kwargs={
-            "cfg": cfg,
-            "text_col": text_col,
-            "id_col": id_col,
-            "verify": verify,
-        },
+        _MinHashSigs(cfg, text_col, id_col, verify),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     if verify == "estimate":
@@ -529,7 +526,7 @@ def embedding_neardup(
                 }
             )
 
-    buckets = ds.map_batches(Sigs, batch_format="pyarrow", concurrency=(1, 8))
+    buckets = ds.map_batches(Sigs(), batch_format="pyarrow")
     raw_pairs = _pairs_from_buckets(buckets, cfg).select_columns(["id_a", "id_b"])
 
     from entitylinking_ray.util import num_join_partitions, sanitize_blocks

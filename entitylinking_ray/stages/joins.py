@@ -49,10 +49,13 @@ def semi_join_bloom(
     nb = _n_buckets()
 
     class BloomPrune:
+        # task-mode callable; bitmap resolved lazily from plasma (zero-copy)
         def __init__(self):
-            self.words = ray.get(wref)
+            self.words = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self.words is None:
+                self.words = ray.get(wref)
             vals = b.column(left_key).to_numpy(zero_copy_only=False)
             keep = bloom_contains(self.words, vals, k)
             return b.filter(pa.array(keep))
@@ -71,7 +74,7 @@ def semi_join_bloom(
     ltypes = {n: _pa_type(t) for n, t in zip(lsch.names, lsch.types)}
 
     survivors = left.select_columns(list(dict.fromkeys([left_key, *left_cols])))
-    survivors = survivors.map_batches(BloomPrune, batch_format="pyarrow", concurrency=(1, 4))
+    survivors = survivors.map_batches(BloomPrune(), batch_format="pyarrow")
 
     def proj_left(b: pa.Table) -> pa.Table:
         cols = {left_key: b.column(left_key)}

@@ -70,18 +70,24 @@ def _sorted_topk(batch: pa.Table, scores: np.ndarray, ids: pa.Array, k: int) -> 
 
 
 class _PartialTopK:
-    """Actor-pool callable: queries fetched from the object store once per
-    actor (broadcast join — small side shipped once, not per batch)."""
+    """Task-mode callable: the instance carries the queries' ObjectRef
+    (broadcast join — the matrix lives in plasma once, never in the task
+    spec) and resolves it lazily on first call; ``ray.get`` of a
+    plasma-backed float array is zero-copy, so per-task resolution costs
+    ~nothing while tasks avoid the actor-pool ramp-up fixed term."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
-        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        q = np.asarray(q, dtype=np.float64)
-        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+        self._qref = queries_ref
+        self.q: np.ndarray | None = None
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.q is None:
+            q = ray.get(self._qref) if not isinstance(self._qref, np.ndarray) else self._qref
+            q = np.asarray(q, dtype=np.float64)
+            self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -126,16 +132,9 @@ def brute_force_knn(
     """
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={
-            "queries_ref": qref,
-            "k": k,
-            "vec_col": vec_col,
-            "id_col": id_col,
-        },
+        _PartialTopK(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
 
@@ -182,13 +181,17 @@ def lsh_knn(
     qref = ray.put(queries)
 
     class Partial:
+        # task-mode callable; broadcast state resolved lazily from plasma
+        # on first call (zero-copy), never carried in the task spec
         def __init__(self):
-            self.b2q = ray.get(b2q_ref)
-            self.planes = ray.get(planes_ref)
-            q = ray.get(qref)
-            self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+            self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.b2q = ray.get(b2q_ref)
+                self.planes = ray.get(planes_ref)
+                q = ray.get(qref)
+                self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
@@ -241,7 +244,7 @@ def lsh_knn(
             )
 
     partials = ds.map_batches(
-        Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        Partial(), batch_format="pyarrow", batch_size=4096
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
 
@@ -295,12 +298,15 @@ def ivf_knn(
     qref = ray.put(qn)
 
     class Partial:
+        # task-mode callable; broadcast state resolved lazily (see lsh_knn)
         def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.l2q = ray.get(l2q_ref)
-            self.q = ray.get(qref)
+            self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.cent = ray.get(cent_ref)
+                self.l2q = ray.get(l2q_ref)
+                self.q = ray.get(qref)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
@@ -346,7 +352,7 @@ def ivf_knn(
             )
 
     partials = ds.map_batches(
-        Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        Partial(), batch_format="pyarrow", batch_size=4096
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
 
@@ -452,13 +458,16 @@ def ivfpq_knn(
     lut_ref = ray.put(lut)
 
     class Partial:
+        # task-mode callable; broadcast state resolved lazily (see lsh_knn)
         def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.books = ray.get(books_ref)
-            self.l2q = ray.get(l2q_ref)
-            self.lut = ray.get(lut_ref)
+            self.lut = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.lut is None:
+                self.cent = ray.get(cent_ref)
+                self.books = ray.get(books_ref)
+                self.l2q = ray.get(l2q_ref)
+                self.lut = ray.get(lut_ref)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
@@ -518,6 +527,6 @@ def ivfpq_knn(
             )
 
     partials = ds.map_batches(
-        Partial, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+        Partial(), batch_format="pyarrow", batch_size=4096
     )
     return partials.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
