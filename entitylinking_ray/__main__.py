@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import sys
 
 
@@ -78,6 +79,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--budget", type=int, default=1 << 21,
                    help="tokens per output shard (--prepare)")
+    p.add_argument(
+        "--bench-input",
+        default=None,
+        help="benchmark/eval-suite table (Parquet dir/file or .lance) whose "
+        "n-grams define contamination for --prepare. REQUIRED for real "
+        "decontamination: without it --prepare falls back to the synthetic "
+        "contract rule (stable-hash doc_id %% 97 == 0 marks 'benchmark' "
+        "rows) which drops a pseudo-random ~1%% of any real corpus",
+    )
+    p.add_argument(
+        "--decon-window",
+        type=int,
+        default=13,
+        help="contamination n-gram window in tokens (--prepare). Default 13 "
+        "(Brown et al. 2020 App. C uses 8-13; the 3-gram contract window "
+        "over-drops massively on real data)",
+    )
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
@@ -121,14 +139,33 @@ def main(argv: list[str] | None = None) -> int:
             summary = {"prepared_dir": out_dir, "resumed": True}
         else:
             docs = _with_text(read_documents(input_path))
+            bench_ds = None
+            if args.bench_input:
+                bench_ds = _with_text(read_documents(args.bench_input))
+            else:
+                print(
+                    "WARNING: --prepare without --bench-input uses the "
+                    "SYNTHETIC contract rule (stable-hash doc_id % 97 == 0 "
+                    "marks benchmark rows): on real data this drops a "
+                    "pseudo-random ~1% of documents plus every doc sharing "
+                    f"a {args.decon_window}-gram with them. Pass "
+                    "--bench-input <eval suite> for real decontamination.",
+                    file=sys.stderr,
+                )
             packed = prepare_corpus_packed(
                 docs,
                 min_quality=args.min_quality,
                 lang=args.lang,
                 min_tokens=args.min_tokens,
+                window=args.decon_window,
                 budget=args.budget,
+                bench_ds=bench_ds,
             ).materialize()
             n_rows = packed.count()
+            # clear leftovers from a crashed prior attempt: Ray writes
+            # run-unique filenames, so stale partial shards would otherwise
+            # be committed alongside the new ones by the atomic rename
+            shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
             os.makedirs(out_dir + ".tmp", exist_ok=True)
             if n_rows:
                 packed.write_parquet(
@@ -160,7 +197,10 @@ def main(argv: list[str] | None = None) -> int:
             curated = curated.materialize()
             n_rows = curated.count()
             # pre-create the tmp dir: an all-filtered (empty) result
-            # writes no files, and the atomic rename must still commit
+            # writes no files, and the atomic rename must still commit.
+            # rmtree first: stale shards from a crashed attempt must not
+            # ride the atomic rename into the committed output
+            shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
             os.makedirs(out_dir + ".tmp", exist_ok=True)
             if n_rows:
                 curated.write_parquet(out_dir + ".tmp")

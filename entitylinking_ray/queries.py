@@ -4173,12 +4173,17 @@ def q_decontaminate(sf_dir: str):
     al. 2020 App. C; Lee et al. 2022 §6.2): flag every corpus document
     that shares a token n-gram (window _DECON_N) with a held-out
     benchmark set (doc_id % _BENCH_MOD == 0 here; the eval suites in
-    production). Stage logic: stages/hygiene.contamination_hits —
-    benchmark grams broadcast once, corpus side never shuffles."""
+    production). Size-switched (stages/hygiene.contamination_hits_auto):
+    small corpora broadcast the bench grams once; above the bound the
+    no-broadcast bloom-semi-join path runs — so the sf0.001 sweep oracles
+    the broadcast path and the sf0.01 driver gate oracles the distributed
+    one."""
+    from entitylinking_ray.stages.hygiene import contamination_hits_auto
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return contamination_hits(
+    return contamination_hits_auto(
         ds, _DECON_N, lambda ids: (ids % _BENCH_MOD) == 0
     )
 
@@ -4209,7 +4214,11 @@ def q_quality_gopher(sf_dir: str):
     )
 
     def gq(b: pa.Table) -> pd.DataFrame:
-        toks = pc.split_pattern(normalize_arrow(b.column("text")), " ")
+        # null text tokenizes as empty: without the fill a null row emits
+        # no flattened tokens and the positional alignment below would
+        # shift every subsequent row's distinct count
+        text = pc.fill_null(b.column("text"), "")
+        toks = pc.split_pattern(normalize_arrow(text), " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
@@ -4222,12 +4231,15 @@ def q_quality_gopher(sf_dir: str):
             .drop_duplicates()
             .groupby("p", sort=True)
             .size()
+            # explicit reindex over every row index rather than relying on
+            # positional coverage (every row has >= 1 token after the
+            # fill_null — split of '' is [''] — but the reindex makes the
+            # alignment structural, not incidental)
+            .reindex(np.arange(len(b)), fill_value=0)
             .to_numpy()
             .astype(np.int64)
         )
-        # every row has >= 1 token (split of '' is ['']), so the distinct
-        # counts cover every row index in order
-        dup_frac = 1.0 - nd / n_tok.astype(np.float64)
+        dup_frac = 1.0 - nd / np.maximum(n_tok, 1).astype(np.float64)
         g2 = _doc_ngrams(b, 2)
         mc = np.zeros(len(b), dtype=np.int64)
         if len(g2):

@@ -145,6 +145,46 @@ def contamination_hits(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+# Corpora at or below this many documents broadcast the contaminated-id /
+# bench-gram sets as driver-held frozensets (cheapest at small scale);
+# above it, the no-broadcast bloom-semi-join + anti-join path runs — the
+# same size-switch shape as ``EngineConfig.memo_shuffle_min_docs``. The
+# bound is deliberately small enough that the sf0.01 correctness gate and
+# the sf0.1 bench both exercise the DISTRIBUTED path (sf0.001 keeps the
+# broadcast path under oracle coverage).
+DECON_BROADCAST_MAX_DOCS = 4_000
+
+
+def contamination_hits_auto(
+    ds: ray.data.Dataset,
+    n: int,
+    is_bench: Callable[[np.ndarray], np.ndarray],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_ds: ray.data.Dataset | None = None,
+    n_docs_hint: int | None = None,
+    broadcast_max_docs: int = DECON_BROADCAST_MAX_DOCS,
+) -> ray.data.Dataset:
+    """Size-switched decontamination: the broadcast-frozenset path below
+    ``broadcast_max_docs`` documents, the no-broadcast bloom semi-join
+    path (:func:`contamination_hits_join`) above it. Both produce
+    identical (doc_id, n_hits) rows — pinned in pytest."""
+    n_docs = ds.count() if n_docs_hint is None else n_docs_hint
+    if n_docs <= broadcast_max_docs:
+        return contamination_hits(
+            ds, n, is_bench, text_col=text_col, id_col=id_col, bench_ds=bench_ds
+        )
+    return contamination_hits_join(
+        ds,
+        n,
+        is_bench,
+        text_col=text_col,
+        id_col=id_col,
+        bench_ds=bench_ds,
+        n_grams_hint=max(1 << 16, n_docs * 64),
+    )
+
+
 def prepare_corpus_packed(
     ds: ray.data.Dataset,
     min_quality: float = 0.5,
@@ -154,34 +194,49 @@ def prepare_corpus_packed(
     window: int = 3,
     budget: int = 512,
     bucket_width: int = 1 << 20,
+    bench_ds: ray.data.Dataset | None = None,
+    broadcast_max_docs: int = DECON_BROADCAST_MAX_DOCS,
 ) -> ray.data.Dataset:
     """documents -> (doc_id, n_tokens, exclusive_prefix, shard_id):
     curation (quality + language + length filter, first-wins exact
     dedup) -> benchmark decontamination (drop the benchmark docs and
-    every doc sharing an n-gram with them) -> token-budget sequence
-    packing. The contaminated-id set rides a ray.put broadcast (it is
-    benchmark-overlap sized — small by nature)."""
+    every doc sharing a token ``window``-gram with them) -> token-budget
+    sequence packing.
+
+    ``bench_ds``: the benchmark suite as its own dataset (production);
+    when omitted, benchmark rows are the ``ds`` rows with
+    ``stable_key(doc_id) % bench_mod == 0`` (the self-contained contract
+    rule — a stand-in, not a real decontamination policy).
+
+    Scale switch (``broadcast_max_docs``, VERDICT r3 #1): at or below the
+    bound, the contaminated-id set is collected once and broadcast via
+    ``ray.put`` (cheapest at small scale); above it, nothing
+    corpus-sized ever lands on the driver — contamination hits come from
+    the bloom-pruned distributed semi join
+    (:func:`contamination_hits_join`) and the contaminated docs are
+    removed by an exact bloom anti join (``stages/joins.anti_join_bloom``)
+    instead of a driver-held frozenset. Both paths produce identical
+    packed output — pinned in pytest."""
     from entitylinking_ray.pipelines.curation import curate_corpus
     from entitylinking_ray.stages.prefix import pack_sequences
 
-    is_bench = _mod_bench(bench_mod)
+    if bench_ds is None:
+        is_bench = _mod_bench(bench_mod)
+    else:
+        # a real benchmark suite was supplied: no corpus row is itself a
+        # benchmark row — the synthetic mod rule must not fire
+        def is_bench(ids: np.ndarray) -> np.ndarray:
+            return np.zeros(len(ids), dtype=bool)
+
     curated = curate_corpus(
         ds, min_quality=min_quality, lang=lang, min_tokens=min_tokens
     )
+    n_docs = ds.count()
+    broadcast = n_docs <= broadcast_max_docs
 
-    bad: set = set()
-    hits = contamination_hits(ds, window, is_bench)
-    for t in hits.iter_batches(batch_format="pandas"):
-        bad.update(t["doc_id"].tolist())
-    bref = ray.put(frozenset(bad))
-
-    def survivors(b: pa.Table) -> pa.Table:
+    def drop_bench_add_key(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = ~is_bench(ids)
-        contaminated = ray.get(bref)
-        if contaminated:
-            keep &= ~pd.Series(ids).isin(contaminated).to_numpy()
-        out = b.filter(pa.array(keep)).select(["doc_id", "n_tokens"])
+        out = b.filter(pa.array(~is_bench(ids))).select(["doc_id", "n_tokens"])
         # integer ids pack in id order (bit-exact vs the SQL twin);
         # string ids pack in stable-hash order via a derived key
         kept_ids = out.column("doc_id").to_numpy(zero_copy_only=False)
@@ -189,8 +244,46 @@ def prepare_corpus_packed(
             "pack_key", pa.array(stable_int_keys(kept_ids), pa.int64())
         )
 
+    if broadcast:
+        bad: set = set()
+        hits = contamination_hits(ds, window, is_bench, bench_ds=bench_ds)
+        for t in hits.iter_batches(batch_format="pandas"):
+            bad.update(t["doc_id"].tolist())
+        bref = ray.put(frozenset(bad))
+
+        def drop_contaminated(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            contaminated = ray.get(bref)
+            if not contaminated:
+                return b
+            keep = ~pd.Series(ids).isin(contaminated).to_numpy()
+            return b.filter(pa.array(keep))
+
+        clean = curated.map_batches(
+            drop_contaminated, batch_format="pyarrow"
+        ).map_batches(drop_bench_add_key, batch_format="pyarrow")
+    else:
+        from entitylinking_ray.stages.joins import anti_join_bloom
+
+        hits = contamination_hits_join(
+            ds,
+            window,
+            is_bench,
+            bench_ds=bench_ds,
+            n_grams_hint=max(1 << 16, n_docs * 64),
+        )
+        keyed = curated.map_batches(drop_bench_add_key, batch_format="pyarrow")
+        clean = anti_join_bloom(
+            keyed,
+            hits,
+            left_key="doc_id",
+            right_key="doc_id",
+            left_cols=["doc_id", "n_tokens", "pack_key"],
+            n_items_hint=max(64, n_docs),
+        )
+
     packed = pack_sequences(
-        curated.map_batches(survivors, batch_format="pyarrow"),
+        clean,
         key_col="pack_key",
         weight_col="n_tokens",
         budget=budget,

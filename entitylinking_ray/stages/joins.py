@@ -60,18 +60,11 @@ def semi_join_bloom(
             keep = bloom_contains(self.words, vals, k)
             return b.filter(pa.array(keep))
 
-    def _pa_type(t) -> pa.DataType:
-        # ray.data.Schema reports numpy dtypes for pandas-backed datasets
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (pa.ArrowNotImplementedError, TypeError):
-            return pa.string()
+    from entitylinking_ray.util import pa_type_of
 
     carry = [c for c in left_cols if c != left_key]
     lsch = left.schema()
-    ltypes = {n: _pa_type(t) for n, t in zip(lsch.names, lsch.types)}
+    ltypes = {n: pa_type_of(t) for n, t in zip(lsch.names, lsch.types)}
 
     survivors = left.select_columns(list(dict.fromkeys([left_key, *left_cols])))
     survivors = survivors.map_batches(BloomPrune(), batch_format="pyarrow")
@@ -115,3 +108,97 @@ def semi_join_bloom(
         return g.filter(pa.array(keep)).select(left_cols)
 
     return merged.groupby(_HB).map_groups(verify, batch_format="pyarrow")
+
+
+def anti_join_bloom(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    n_items_hint: int,
+    fpp: float = 0.01,
+) -> ray.data.Dataset:
+    """Rows of ``left`` (projected to ``left_cols``) whose ``left_key``
+    does NOT appear in ``right[right_key]``. Exact semantics with the
+    bloom filter inverted relative to :func:`semi_join_bloom`: a bloom
+    MISS proves non-membership, so those rows are emitted directly with
+    no shuffle at all; only the bloom POSITIVES (members + ~fpp false
+    positives) pay the hash-co-partitioned exact verify, where the rows
+    whose key is absent from the right side are recovered. Shuffle volume
+    is O(|matches| + fpp * |left|) — never the full left side."""
+    words, k = bloom_build(right, right_key, n_items_hint=n_items_hint, fpp=fpp)
+    wref = ray.put(words)
+    nb = _n_buckets()
+
+    class BloomSplit:
+        """Task-mode callable emitting either the definite non-members
+        (``positive=False``) or the maybe-members (``positive=True``)."""
+
+        def __init__(self, positive: bool):
+            self.positive = positive
+            self.words = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self.words is None:
+                self.words = ray.get(wref)
+            vals = b.column(left_key).to_numpy(zero_copy_only=False)
+            hit = bloom_contains(self.words, vals, k)
+            keep = hit if self.positive else ~hit
+            return b.filter(pa.array(keep))
+
+    from entitylinking_ray.util import pa_type_of
+
+    carry = [c for c in left_cols if c != left_key]
+    lsch = left.schema()
+    ltypes = {n: pa_type_of(t) for n, t in zip(lsch.names, lsch.types)}
+
+    proj = left.select_columns(list(dict.fromkeys([left_key, *left_cols])))
+    definite = proj.map_batches(
+        BloomSplit(False), batch_format="pyarrow"
+    ).select_columns(left_cols)
+    maybe = proj.map_batches(BloomSplit(True), batch_format="pyarrow")
+
+    def proj_left(b: pa.Table) -> pa.Table:
+        cols = {left_key: b.column(left_key)}
+        for c in carry:
+            cols[c] = b.column(c)
+        cols[_SIDE] = pa.array(np.ones(len(b), dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column(
+            _HB, _bucket_of(b.column(left_key).to_numpy(zero_copy_only=False), nb)
+        )
+
+    def proj_right(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column(right_key), ltypes[left_key])
+        cols = {left_key: key}
+        for c in carry:
+            cols[c] = pa.nulls(len(b), ltypes[c])
+        cols[_SIDE] = pa.array(np.zeros(len(b), dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column(
+            _HB, _bucket_of(key.to_numpy(zero_copy_only=False), nb)
+        )
+
+    order = [left_key, *carry, _SIDE, _HB]
+    merged = maybe.map_batches(proj_left, batch_format="pyarrow").select_columns(
+        order
+    ).union(
+        right.select_columns([right_key])
+        .map_batches(proj_right, batch_format="pyarrow")
+        .select_columns(order)
+    )
+
+    def verify_absent(g: pa.Table) -> pa.Table:
+        side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+        keys = g.column(left_key).to_numpy(zero_copy_only=False)
+        is_left = side == 1
+        rkeys = keys[~is_left]
+        keep = is_left & ~np.isin(keys, rkeys)
+        return g.filter(pa.array(keep)).select(left_cols)
+
+    recovered = merged.groupby(_HB).map_groups(
+        verify_absent, batch_format="pyarrow"
+    )
+    return definite.union(recovered)

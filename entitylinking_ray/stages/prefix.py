@@ -61,7 +61,14 @@ def prefix_sums(
         # entirely; return a typed empty dataset instead
         sch = ds.schema(fetch_if_missing=True)
         if sch is not None and sch.names:
-            cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+            # pa_type_of: Ray reports numpy dtypes for pandas-backed
+            # datasets, which pa.array([], t) rejects
+            from entitylinking_ray.util import pa_type_of
+
+            cols = {
+                n: pa.array([], pa_type_of(t))
+                for n, t in zip(sch.names, sch.types)
+            }
         else:  # fully-empty dataset with no recoverable schema
             cols = {
                 key_col: pa.array([], pa.int64()),

@@ -5,6 +5,20 @@ from __future__ import annotations
 import ray.data
 
 
+def pa_type_of(t) -> "pa.DataType":
+    """Arrow type for a ``ray.data.Schema`` entry. Ray reports numpy
+    dtypes (not ``pa.DataType``) for pandas-backed datasets, so anything
+    schema-driven must convert before calling ``pa.array``/``pa.nulls``."""
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def num_join_partitions(rows_hint: int | None = None) -> int:
     """Partition count for hash joins/shuffles: scale with data volume,
     capped by cluster CPUs. Each partition is a shuffle-aggregator ACTOR

@@ -373,3 +373,102 @@ def test_contamination_join_path_equals_broadcast(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_anti_join_bloom_exact(ray_session):
+    """Bloom anti join == exact NOT IN semantics, including bloom false
+    positives (tiny bitmap forces them) recovered by the verify pass."""
+    import ray.data
+
+    from entitylinking_ray.stages.joins import anti_join_bloom
+
+    left = ray.data.from_items(
+        [{"k": i, "v": f"row{i}"} for i in range(200)]
+    )
+    right = ray.data.from_items([{"k": i * 3} for i in range(40)])  # 0..117
+    out = (
+        anti_join_bloom(
+            left, right, left_key="k", right_key="k",
+            left_cols=["k", "v"], n_items_hint=8, fpp=0.5,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = sorted(set(range(200)) - {i * 3 for i in range(40)})
+    assert out["k"].tolist() == want
+    assert out["v"].tolist() == [f"row{k}" for k in want]
+
+
+def test_prepare_corpus_join_path_equals_broadcast(ray_session, tmp_path):
+    """prepare_corpus_packed's no-broadcast path (bloom semi-join hits +
+    bloom anti-join drop, forced via broadcast_max_docs=0) packs exactly
+    the broadcast path's output."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from entitylinking_ray.stages.hygiene import prepare_corpus_packed
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "with many other distinct words in this long sentence number"
+    )
+    texts = {
+        0: "omega sigma lambda theta kappa zeta epsilon phi chi",
+        1: en + " one",
+        2: "the quick brown fox omega sigma lambda and many other distinct words here",
+        3: en + " one",
+        4: "tiny doc here",
+        6: en + " six six six extra tokens to change the count",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": list(texts.values()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    kw = dict(min_quality=0.5, lang="en", min_tokens=10, budget=512,
+              bucket_width=64)
+    bc = (
+        prepare_corpus_packed(ds, broadcast_max_docs=1_000_000, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    jn = (
+        prepare_corpus_packed(ds, broadcast_max_docs=0, **kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bc.to_dict("records") == jn.to_dict("records")
+    assert sorted(bc["doc_id"]) == [1, 6]
+
+
+def test_contamination_hits_auto_switches(ray_session, tmp_path):
+    """The auto dispatcher returns identical hits through both regimes."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from entitylinking_ray.stages.hygiene import (
+        _mod_bench,
+        contamination_hits_auto,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "zz alpha beta gamma yy",
+        "one two three four five",
+        "beta gamma delta oh my",
+    ]
+    pq.write_table(_tbl(texts), tmp_path / "documents.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "documents.parquet"))
+    lo = (
+        contamination_hits_auto(ds, 3, _mod_bench(97), broadcast_max_docs=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    hi = (
+        contamination_hits_auto(
+            ds, 3, _mod_bench(97), broadcast_max_docs=1_000_000
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert lo.to_dict("records") == hi.to_dict("records")
