@@ -1638,18 +1638,31 @@ FROM fx JOIN s USING (l_returnflag)
 """
 
 
-def q_top_terms(sf_dir: str):
+# Corpora at or below this many documents broadcast the vocabulary-sized
+# df map via ray.put; above it, the df side is a keyed distributed join on
+# tok (the open-web regime: the distinct-token set does not fit a driver
+# dict). Sized so the sf0.1 bench runs the join path while the sf0.001 /
+# sf0.01 oracle gates keep the broadcast path covered; path equality is
+# pinned in pytest.
+_TOP_TERMS_BROADCAST_MAX_DOCS = 1_000
+
+
+def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
     """Top-3 terms per document ranked by (tf DESC, df ASC, tok ASC) —
     the tf/df join pattern under pure-integer ordering (no ln() in the
     ranking: libm log is not cross-engine bit-stable, while the integer
     sort key is). tf is BATCH-LOCAL (a document's text lives in one row,
-    so per-doc term counts and the per-doc top-k never shuffle); df is
-    one groupby-sum over per-batch-distinct (tok, count) partials whose
-    result is vocabulary-sized and broadcast once via ray.put. At a
-    vocabulary too large to broadcast, the df side becomes a keyed join
-    on tok instead — same pass structure."""
+    so per-doc term counts never shuffle); df is one groupby-sum over
+    per-batch-distinct (tok, count) partials. Below the size switch the
+    df result is broadcast once via ray.put; above it NOTHING
+    vocabulary-sized touches the driver — tf rows join df rows through a
+    hash-bucketed shuffle on tok, then the per-doc top-k re-groups on a
+    doc_id bucket (VERDICT r3 #1b)."""
     from entitylinking_ray.functions.textnorm import normalize_arrow
+    from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
+    if broadcast_max_docs is None:
+        broadcast_max_docs = _TOP_TERMS_BROADCAST_MAX_DOCS
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -1672,40 +1685,116 @@ def q_top_terms(sf_dir: str):
         d = pairs.drop_duplicates().groupby("tok", sort=False).size()
         return pd.DataFrame({"tok": d.index, "d": d.to_numpy().astype("int64")})
 
-    df_rows = (
+    df_ds = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("d", alias_name="df"))
-        .take_all()
     )
-    df_map = {r["tok"]: int(r["df"]) for r in df_rows}
-    df_ref = ray.put(df_map)
 
-    def topk(b: pa.Table) -> pd.DataFrame:
-        dfm = ray.get(df_ref)
-        pairs = tok_pairs(b)
-        if len(pairs) == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "tok": pd.Series([], dtype="object"),
-                 "tf": pd.Series([], dtype="int64"),
-                 "df": pd.Series([], dtype="int64"),
-                 "rn": pd.Series([], dtype="int64")}
-            )
-        tf = (
-            pairs.groupby(["doc_id", "tok"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-        tf["tf"] = tf["tf"].astype("int64")
-        tf["df"] = tf["tok"].map(dfm).astype("int64")
+    def rank_doc_group(tf: pd.DataFrame) -> pd.DataFrame:
         tf = tf.sort_values(
             ["doc_id", "tf", "df", "tok"], ascending=[True, False, True, True]
         )
         tf["rn"] = tf.groupby("doc_id", sort=False).cumcount() + 1
         return tf[tf["rn"] <= 3][["doc_id", "tok", "tf", "df", "rn"]]
 
-    return ds.map_batches(topk, batch_format="pyarrow")
+    if ds.count() <= broadcast_max_docs:
+        df_map = {r["tok"]: int(r["df"]) for r in df_ds.take_all()}
+        df_ref = ray.put(df_map)
+
+        def topk(b: pa.Table) -> pd.DataFrame:
+            dfm = ray.get(df_ref)
+            pairs = tok_pairs(b)
+            if len(pairs) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "tok": pd.Series([], dtype="object"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "df": pd.Series([], dtype="int64"),
+                     "rn": pd.Series([], dtype="int64")}
+                )
+            tf = (
+                pairs.groupby(["doc_id", "tok"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            tf["tf"] = tf["tf"].astype("int64")
+            tf["df"] = tf["tok"].map(dfm).astype("int64")
+            return rank_doc_group(tf)
+
+        return ds.map_batches(topk, batch_format="pyarrow")
+
+    # ---- distributed path: keyed tf ⨝ df join on tok ----
+    nb = _n_buckets()
+    empty_side = pd.DataFrame(
+        {"tok": pd.Series([], dtype="object"),
+         "doc_id": pd.Series([], dtype="int64"),
+         "tf": pd.Series([], dtype="int64"),
+         "df": pd.Series([], dtype="int64"),
+         "_hb": pd.array([], dtype="int32")}
+    )
+
+    def tf_side(b: pa.Table) -> pd.DataFrame:
+        pairs = tok_pairs(b)
+        if len(pairs) == 0:
+            return empty_side
+        tf = (
+            pairs.groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["df"] = np.int64(-1)
+        tf["_hb"] = np.asarray(
+            _bucket_of(tf["tok"].to_numpy(), nb)
+        )
+        return tf[["tok", "doc_id", "tf", "df", "_hb"]]
+
+    def df_side(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return empty_side
+        out = pd.DataFrame(
+            {"tok": b["tok"],
+             "doc_id": np.int64(-1),
+             "tf": np.int64(-1),
+             "df": b["df"].astype("int64"),
+             "_hb": np.asarray(_bucket_of(b["tok"].to_numpy(), nb))}
+        )
+        return out[["tok", "doc_id", "tf", "df", "_hb"]]
+
+    merged = ds.map_batches(tf_side, batch_format="pyarrow").union(
+        df_ds.map_batches(df_side, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty_side.rename(columns={"_hb": "_db"})
+        is_df = g["tf"].to_numpy() == -1
+        dfm = g[is_df][["tok", "df"]]
+        tfm = g[~is_df][["tok", "doc_id", "tf"]]
+        out = tfm.merge(dfm, on="tok", how="left")
+        out["df"] = out["df"].fillna(0).astype("int64")
+        out["_db"] = (
+            pd.util.hash_array(out["doc_id"].to_numpy()) % np.uint64(nb)
+        ).astype("int32")
+        return out[["tok", "doc_id", "tf", "df", "_db"]]
+
+    joined = merged.groupby("_hb").map_groups(join_bucket, batch_format="pandas")
+
+    empty_ranked = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "tok": pd.Series([], dtype="object"),
+         "tf": pd.Series([], dtype="int64"),
+         "df": pd.Series([], dtype="int64"),
+         "rn": pd.Series([], dtype="int64")}
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty_ranked
+        return rank_doc_group(g[["doc_id", "tok", "tf", "df"]].copy())
+
+    return joined.groupby("_db").map_groups(rank_bucket, batch_format="pandas")
 
 
 SQL_TOP_TERMS = f"""

@@ -55,9 +55,20 @@ def set_overlap_join(
     text_col: str,
     id_col: str,
     min_overlap: int,
+    df_ceiling: int = 100_000,
 ) -> ray.data.Dataset:
     """Exact pairs (id_a < id_b, overlap) with
-    |distinct_tokens(a) ∩ distinct_tokens(b)| >= min_overlap."""
+    |distinct_tokens(a) ∩ distinct_tokens(b)| >= min_overlap.
+
+    ``df_ceiling`` (VERDICT r3 #1c): only tokens with document frequency
+    <= ceiling are collected into the broadcast df map; hotter tokens map
+    to the sentinel ``df_ceiling + 1`` and sort after every retained
+    token (ties broken by token text). The prefix-filter lemma needs only
+    ONE CONSISTENT global total order — (df-or-sentinel asc, tok asc) is
+    one — so completeness and therefore EXACTNESS are unchanged by the
+    truncation (pinned in pytest with a forcing ceiling); what changes is
+    that the driver-held map is bounded by the sub-ceiling vocabulary
+    instead of the full distinct-token set."""
     t = min_overlap
 
     # ---- pass 1: global token document frequency (small; broadcast) ----
@@ -78,14 +89,22 @@ def set_overlap_join(
 
     from ray.data.aggregate import Sum
 
+    # the ceiling filter runs DISTRIBUTED, before anything reaches the
+    # driver: only the sub-ceiling (prefix-eligible) vocabulary is
+    # collected and broadcast
     df_tbl = (
         ds.map_batches(df_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("df", alias_name="df"))
+        .filter(expr=f"df <= {int(df_ceiling)}")
         .to_pandas()
     )
-    df_map = dict(zip(df_tbl["tok"], df_tbl["df"]))
+    # an all-hot vocabulary filters to an EMPTY (column-less) frame
+    df_map = (
+        dict(zip(df_tbl["tok"], df_tbl["df"])) if "tok" in df_tbl else {}
+    )
     df_ref = ray.put(df_map)
+    df_sentinel = np.int64(df_ceiling) + 1
 
     nb = _n_buckets()
 
@@ -114,7 +133,10 @@ def set_overlap_join(
         # consistent global order: (df asc, token asc), vectorized per
         # batch — sort once by (row, df, tok), then positional arithmetic
         # gives each row's prefix (first n - T + 1 tokens)
-        pairs["df"] = pairs["tok"].map(dfm).fillna(0).astype("int64")
+        # tokens absent from the truncated map are hot (df > ceiling):
+        # the sentinel sorts them after every retained token, keeping one
+        # consistent global order (ties broken by tok asc below)
+        pairs["df"] = pairs["tok"].map(dfm).fillna(df_sentinel).astype("int64")
         pairs = pairs.sort_values(
             ["row", "df", "tok"], kind="mergesort"
         ).reset_index(drop=True)

@@ -105,3 +105,32 @@ def test_set_overlap_join_partition_invariant():
         )
         outs.append(got)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_overlap_join_df_ceiling_exactness():
+    """A forcing df ceiling (0: EVERY token maps to the sentinel order)
+    and a tiny ceiling both produce exactly the untruncated result — the
+    prefix-filter lemma only needs a consistent global order, so the
+    truncation changes candidate generation but never the verified
+    output."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = []
+    for i in range(60):
+        n = rng.integers(6, 20)
+        docs.append(" ".join(rng.choice(vocab, size=n, replace=False)))
+    core = " ".join(vocab[60:70])
+    for i in range(4):
+        docs.append(core + " " + " ".join(rng.choice(vocab[:20], size=3, replace=False)))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(4)
+    want = _canon(
+        set_overlap_join(ds, "text", "doc_id", 6, df_ceiling=10**6).to_pandas()
+    )
+    for ceiling in (0, 3):
+        got = _canon(
+            set_overlap_join(ds, "text", "doc_id", 6, df_ceiling=ceiling).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    pd.testing.assert_frame_equal(want, _brute(df, 6), check_dtype=False)
