@@ -245,3 +245,171 @@ def recall_at_k(
     n_pos = pk.count()
     n_hit = hit.count()
     return {"blocking_recall": (n_hit / n_pos) if n_pos else 1.0, "positives": n_pos, "blocked": n_hit}
+
+
+# ---------------------------------------------------------------------------
+# Span-level NER F1 (reference e2e/evaluation.py:450-488 semantics:
+# set-based span precision/recall/F1 with exact AND partial-overlap credit)
+# ---------------------------------------------------------------------------
+
+def vocab_spans(
+    ds: ray.data.Dataset,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, s, e) spans: MAXIMAL runs of consecutive normalized
+    tokens drawn from ``vocab`` (1-based inclusive token positions, the
+    SQL twin's gaps-and-islands definition). Fully vectorized islands
+    over the batch's flat token stream — batch-local, no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from entitylinking_ray.functions.textnorm import normalize_arrow
+
+    varr = np.asarray(sorted(vocab), dtype=object)
+
+    def spans(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column(text_col), "")
+        toks = pc.split_pattern(normalize_arrow(text), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        doc_len = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(doc_len)))
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        m = np.isin(flat, varr)
+        same_prev = np.concatenate(([False], parent[1:] == parent[:-1]))
+        prev_in = np.concatenate(([False], m[:-1])) & same_prev
+        same_next = np.concatenate((parent[1:] == parent[:-1], [False]))
+        next_in = np.concatenate((m[1:], [False])) & same_next
+        starts = np.flatnonzero(m & ~prev_in)
+        ends = np.flatnonzero(m & ~next_in)
+        docs = parent[starts]
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)[docs]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "s": pa.array(starts - doc_off[docs] + 1, pa.int64()),
+                "e": pa.array(ends - doc_off[docs] + 1, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(spans, batch_format="pyarrow")
+
+
+def span_f1_metrics(
+    pred: ray.data.Dataset,
+    gold: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Set-based span NER metrics over two (doc_id, s, e) span Datasets
+    — the reference's span evaluation (``e2e/evaluation.py:450-488``)
+    re-expressed as one bucketed shuffle: both sides hash-co-partition
+    on doc_id, each bucket counts its exact matches and overlap hits
+    vectorized (pandas range-overlap merge), and five integer partial
+    counts reduce to one row. Exact credit: identical (s, e); partial
+    credit: any token overlap. Returns a 1-row DataFrame with counts and
+    precision/recall/F1 under both credit rules."""
+    import numpy as np
+    import pandas as pd
+
+    from entitylinking_ray.stages.blocking import _n_buckets
+
+    nb = _n_buckets()
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[id_col].to_numpy()
+            return pd.DataFrame(
+                {
+                    "k": k,
+                    "s": b["s"].to_numpy().astype("int64"),
+                    "e": b["e"].to_numpy().astype("int64"),
+                    "side": np.int8(side),
+                    "hb": (
+                        pd.util.hash_array(k) % np.uint64(nb)
+                    ).astype("int32"),
+                }
+            )
+
+        return fn
+
+    empty_counts = pd.DataFrame(
+        {
+            c: pd.Series([], dtype="int64")
+            for c in ("n_pred", "n_gold", "tp_exact", "tp_partial", "gold_hit")
+        }
+    )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty_counts
+        side = g["side"].to_numpy()
+        p = g[side == 0][["k", "s", "e"]]
+        q = g[side == 1][["k", "s", "e"]]
+        ov = p.merge(q, on="k", suffixes=("_p", "_g"))
+        hit = ov[(ov["s_p"] <= ov["e_g"]) & (ov["s_g"] <= ov["e_p"])]
+        exact = hit[(hit["s_p"] == hit["s_g"]) & (hit["e_p"] == hit["e_g"])]
+        return pd.DataFrame(
+            {
+                "n_pred": [np.int64(len(p))],
+                "n_gold": [np.int64(len(q))],
+                "tp_exact": [
+                    np.int64(
+                        len(exact.drop_duplicates(["k", "s_p", "e_p"]))
+                    )
+                ],
+                "tp_partial": [
+                    np.int64(len(hit.drop_duplicates(["k", "s_p", "e_p"])))
+                ],
+                "gold_hit": [
+                    np.int64(len(hit.drop_duplicates(["k", "s_g", "e_g"])))
+                ],
+            }
+        )
+
+    merged = (
+        pred.map_batches(tag(0), batch_format="pandas")
+        .union(gold.map_batches(tag(1), batch_format="pandas"))
+        .groupby("hb")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    agg = merged.aggregate(
+        Sum("n_pred", alias_name="n_pred"),
+        Sum("n_gold", alias_name="n_gold"),
+        Sum("tp_exact", alias_name="tp_exact"),
+        Sum("tp_partial", alias_name="tp_partial"),
+        Sum("gold_hit", alias_name="gold_hit"),
+    )
+    n_pred = int(agg["n_pred"] or 0)
+    n_gold = int(agg["n_gold"] or 0)
+    tp_exact = int(agg["tp_exact"] or 0)
+    tp_partial = int(agg["tp_partial"] or 0)
+    gold_hit = int(agg["gold_hit"] or 0)
+
+    def pr_f1(tp_p: int, tp_r: int) -> tuple[float, float, float]:
+        p = tp_p / n_pred if n_pred else 0.0
+        r = tp_r / n_gold if n_gold else 0.0
+        f = 2.0 * p * r / (p + r) if (p + r) > 0.0 else 0.0
+        return p, r, f
+
+    pe, re_, fe = pr_f1(tp_exact, tp_exact)
+    pp, rp, fp = pr_f1(tp_partial, gold_hit)
+    return pd.DataFrame(
+        {
+            "n_pred": pd.Series([n_pred], dtype="int64"),
+            "n_gold": pd.Series([n_gold], dtype="int64"),
+            "tp_exact": pd.Series([tp_exact], dtype="int64"),
+            "tp_partial": pd.Series([tp_partial], dtype="int64"),
+            "gold_hit": pd.Series([gold_hit], dtype="int64"),
+            "precision_exact": [pe],
+            "recall_exact": [re_],
+            "f1_exact": [fe],
+            "precision_partial": [pp],
+            "recall_partial": [rp],
+            "f1_partial": [fp],
+        }
+    )

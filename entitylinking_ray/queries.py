@@ -878,6 +878,114 @@ SELECT n AS doc_id, min(m) AS dup_cluster FROM reach GROUP BY n
 """
 
 
+_NER_PRED_VOCAB = ["spark", "customer", "part", "join", "merge"]
+_NER_GOLD_VOCAB = ["spark", "customer", "part", "window", "hash"]
+
+
+def q_ner_f1(sf_dir: str):
+    """Span-level NER F1 (VERDICT r3 #6; reference semantics
+    ``e2e/evaluation.py:450-488``): set-based span precision/recall/F1
+    with EXACT and PARTIAL-OVERLAP credit between a predicted and a gold
+    span set. The synthetic corpus is caseless, so the casing-heuristic
+    NER (sources.documents.extract_mentions_heuristic) is degenerate on
+    it; instead both span sets are deterministic VOCAB ISLANDS — maximal
+    runs of tokens from two different keyword vocabularies — which
+    yields genuine tp/fp/fn and partial overlaps and is exactly
+    SQL-replayable (gaps-and-islands). The metric machinery
+    (pipelines.eval.span_f1_metrics) is generic over any (doc_id, s, e)
+    span datasets: hash-co-partitioned on doc_id, bucket-local
+    range-overlap counting, five integer partials reduced to one row."""
+    from entitylinking_ray.pipelines.eval import span_f1_metrics, vocab_spans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pred = vocab_spans(ds, _NER_PRED_VOCAB)
+    gold = vocab_spans(ds, _NER_GOLD_VOCAB)
+    return span_f1_metrics(pred, gold)
+
+
+def _ner_f1_sql() -> str:
+    pred_in = ", ".join(f"'{w}'" for w in _NER_PRED_VOCAB)
+    gold_in = ", ".join(f"'{w}'" for w in _NER_GOLD_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+), pspans AS (
+  SELECT doc_id, CAST(min(i) AS BIGINT) AS s, CAST(max(i) AS BIGINT) AS e
+  FROM (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM idx WHERE tok IN ({pred_in}))
+  GROUP BY doc_id, grp
+), gspans AS (
+  SELECT doc_id, CAST(min(i) AS BIGINT) AS s, CAST(max(i) AS BIGINT) AS e
+  FROM (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM idx WHERE tok IN ({gold_in}))
+  GROUP BY doc_id, grp
+), ov AS (
+  SELECT p.doc_id, p.s AS sp, p.e AS ep, g.s AS sg, g.e AS eg
+  FROM pspans p JOIN gspans g
+    ON p.doc_id = g.doc_id AND p.s <= g.e AND g.s <= p.e
+), c AS (
+  SELECT
+    (SELECT count(*) FROM pspans) AS n_pred,
+    (SELECT count(*) FROM gspans) AS n_gold,
+    (SELECT count(*) FROM (SELECT DISTINCT doc_id, sp, ep FROM ov
+                           WHERE sp = sg AND ep = eg)) AS tp_exact,
+    (SELECT count(*) FROM (SELECT DISTINCT doc_id, sp, ep FROM ov)) AS tp_partial,
+    (SELECT count(*) FROM (SELECT DISTINCT doc_id, sg, eg FROM ov)) AS gold_hit
+)
+SELECT
+  CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(n_gold AS BIGINT) AS n_gold,
+  CAST(tp_exact AS BIGINT) AS tp_exact,
+  CAST(tp_partial AS BIGINT) AS tp_partial,
+  CAST(gold_hit AS BIGINT) AS gold_hit,
+  CASE WHEN n_pred = 0 THEN 0.0
+       ELSE CAST(tp_exact AS DOUBLE) / n_pred END AS precision_exact,
+  CASE WHEN n_gold = 0 THEN 0.0
+       ELSE CAST(tp_exact AS DOUBLE) / n_gold END AS recall_exact,
+  CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0
+                  ELSE CAST(tp_exact AS DOUBLE) / n_pred END
+             + CASE WHEN n_gold = 0 THEN 0.0
+                    ELSE CAST(tp_exact AS DOUBLE) / n_gold END) = 0.0 THEN 0.0
+       ELSE 2.0 * (CASE WHEN n_pred = 0 THEN 0.0
+                        ELSE CAST(tp_exact AS DOUBLE) / n_pred END)
+                * (CASE WHEN n_gold = 0 THEN 0.0
+                        ELSE CAST(tp_exact AS DOUBLE) / n_gold END)
+            / ((CASE WHEN n_pred = 0 THEN 0.0
+                     ELSE CAST(tp_exact AS DOUBLE) / n_pred END)
+               + (CASE WHEN n_gold = 0 THEN 0.0
+                       ELSE CAST(tp_exact AS DOUBLE) / n_gold END)) END AS f1_exact,
+  CASE WHEN n_pred = 0 THEN 0.0
+       ELSE CAST(tp_partial AS DOUBLE) / n_pred END AS precision_partial,
+  CASE WHEN n_gold = 0 THEN 0.0
+       ELSE CAST(gold_hit AS DOUBLE) / n_gold END AS recall_partial,
+  CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0
+                  ELSE CAST(tp_partial AS DOUBLE) / n_pred END
+             + CASE WHEN n_gold = 0 THEN 0.0
+                    ELSE CAST(gold_hit AS DOUBLE) / n_gold END) = 0.0 THEN 0.0
+       ELSE 2.0 * (CASE WHEN n_pred = 0 THEN 0.0
+                        ELSE CAST(tp_partial AS DOUBLE) / n_pred END)
+                * (CASE WHEN n_gold = 0 THEN 0.0
+                        ELSE CAST(gold_hit AS DOUBLE) / n_gold END)
+            / ((CASE WHEN n_pred = 0 THEN 0.0
+                     ELSE CAST(tp_partial AS DOUBLE) / n_pred END)
+               + (CASE WHEN n_gold = 0 THEN 0.0
+                       ELSE CAST(gold_hit AS DOUBLE) / n_gold END)) END AS f1_partial
+FROM c
+"""
+
+
+SQL_NER_F1 = _ner_f1_sql()
+
+
 # ---------------------------------------------------------------------------
 # string-similarity kernels as queries (DuckDB twins are built in)
 # ---------------------------------------------------------------------------
@@ -4833,6 +4941,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_jaccard_md5": q_dedup_jaccard_md5,
+    "ner_f1": q_ner_f1,
     "jaro_winkler": q_jaro_winkler,
     "levenshtein": q_levenshtein,
     "window_hourly": q_window_hourly,
@@ -4975,5 +5084,6 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_md5": SQL_DEDUP_MINHASH_MD5,
     "dedup_jaccard_md5": SQL_DEDUP_JACCARD_MD5,
+    "ner_f1": SQL_NER_F1,
     # dedup_minhash / er_clusters: not SQL-expressible (LSH estimate decision)
 }
