@@ -42,6 +42,59 @@ class HashingEncoder:
         return out / norms
 
 
+class SentenceTransformerEncoder:
+    """Real-model adapter for the ST1 slot (VERDICT r3 #5; reference
+    ``OneNet/data_process.py:193-215`` loads a SentenceTransformer once
+    and encodes mention batches, ``Sparkle/database.py:141-163`` the
+    catalog side). Construct ONCE PER ACTOR (``map_batches(Cls,
+    concurrency=N)`` / ``PairScorer.__init__``) — the model load is the
+    expensive step; ``encode`` then runs batched inference.
+
+    Lazy import: ``sentence_transformers`` (and its torch dependency)
+    is resolved at construction, so the engine itself never requires it
+    — this sandbox has no model weights or torch, which is why the slot
+    ships tested against the mock interface (tests/test_embed_adapter)
+    and exercised end-to-end only where a model is available.
+
+    GPU placement: pass ``device="cuda"`` and give the actor pool
+    ``num_gpus`` via map_batches — the adapter itself only forwards the
+    device string. CPU actors should set ``torch_num_threads`` ≈
+    ``num_cpus`` of the stage so pool actors don't oversubscribe."""
+
+    def __init__(
+        self,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        device: str | None = None,
+        batch_size: int = 256,
+        torch_num_threads: int | None = 1,
+        normalize: bool = True,
+    ):
+        try:
+            import torch  # noqa: F401
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - torch absent here
+            raise ImportError(
+                "SentenceTransformerEncoder needs the 'sentence-transformers' "
+                "and 'torch' packages (not shipped with this engine); install "
+                "them or use the default HashingEncoder"
+            ) from e
+        if torch_num_threads is not None:
+            torch.set_num_threads(int(torch_num_threads))
+        self.model = SentenceTransformer(model_name, device=device)
+        self.batch_size = int(batch_size)
+        self.normalize = bool(normalize)
+
+    def encode(self, texts) -> np.ndarray:
+        out = self.model.encode(
+            list(texts),
+            batch_size=self.batch_size,
+            convert_to_numpy=True,
+            normalize_embeddings=self.normalize,
+            show_progress_bar=False,
+        )
+        return np.asarray(out, dtype=np.float32)
+
+
 def resolve_encoder(cfg):
     """Resolve the configured encoder (the ST1 'real model' slot —
     ``OneNet/data_process.py:193-215`` loads a SentenceTransformer once

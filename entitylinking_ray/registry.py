@@ -121,8 +121,30 @@ def _hashing_encoder(cfg):
     return HashingEncoder(dim=cfg.embed_dim, seed=cfg.seed, shingle_k=cfg.shingle_k)
 
 
+def _sentence_transformer_encoder(cfg):
+    """Real-model factory (ST1): config keys ride ``cfg.extra`` —
+    ``st_model`` (name/path), ``st_device`` ("cuda" for GPU actors;
+    give the stage ``num_gpus`` in map_batches), ``st_batch_size``,
+    ``st_threads``. Lazy import inside the adapter: selecting it without
+    sentence-transformers installed raises a clear ImportError."""
+    from entitylinking_ray.functions.embed import SentenceTransformerEncoder
+
+    x = cfg.extra or {}
+    return SentenceTransformerEncoder(
+        model_name=x.get(
+            "st_model", "sentence-transformers/all-MiniLM-L6-v2"
+        ),
+        device=x.get("st_device"),
+        batch_size=int(x.get("st_batch_size", 256)),
+        torch_num_threads=(
+            int(x["st_threads"]) if "st_threads" in x else 1
+        ),
+    )
+
+
 ENCODERS: dict[str, Callable] = {
     "hashing": _hashing_encoder,
+    "sentence_transformer": _sentence_transformer_encoder,
 }
 encoder = _make_lookup(ENCODERS, "encoder")
 
