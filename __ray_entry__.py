@@ -7,10 +7,12 @@ here (or in the ``entitylinking_ray`` library) calls ``ray.init()`` /
 - ``entry()``: flagship entity-resolution pipeline over the canonical
   interleaved text+media corpus, sized from the sf0.001 documents table.
 - ``queries()``: one callable per implemented operator/pipeline from
-  SURVEY.md §2 plus the engine's training-data additions — 85
-  pipelines (see ``entitylinking_ray.queries``).
+  SURVEY.md §2 plus the engine's training-data additions — 93
+  pipelines (see ``entitylinking_ray.queries``). Registry order is the
+  driver's RUN order: every oracled query sorts before the rows-only
+  ones so a bounded driver window verifies the full oracle set.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query where the semantics
-  are SQL-expressible — 65 twins (rows-only checks otherwise).
+  are SQL-expressible — 71 twins (rows-only checks otherwise).
 """
 
 from __future__ import annotations

@@ -2538,7 +2538,8 @@ def q_pagerank(sf_dir: str):
     graph — the same (event_type, hour) chain edges as unionfind_events,
     symmetrized. Exercises the engine's iterative-graph pattern
     (stages/pagerank): driver fast path below the edge threshold,
-    broadcast-vector rounds above, both pinned equal in pytest.
+    dataset-resident rank rounds above (ranks never leave the cluster
+    as a vector), both pinned equal in pytest.
     Rows-only (iterative float fixpoint is not SQL-oracle-able
     value-exactly)."""
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
@@ -2601,6 +2602,125 @@ def q_pagerank(sf_dir: str):
     out = pagerank(edges, n_iter=20)
     out["rank"] = np.round(out["rank"], 10)
     return out
+
+
+def q_relation_edges(sf_dir: str):
+    """TYPED relation edges — the reference's ``GraphEdge.relation``
+    surface (``Sparkle/database.py:17,234-238``,
+    ``e2e/systems/graph_system.py:22-79``): a (relation, src, dst)
+    edge table with per-relation grouping, built as spanning-chain
+    edges between users co-occurring in the same (event_type, hour)
+    bucket, keyed by the RELATION (the event type) and aggregated to
+    per-(relation, src, dst) multiplicities. Shuffle shape: distinct
+    (user, bucket) rows -> hash-bucketed chain pass (one Python call
+    per HASH bucket, vectorized run detection) -> map-side count
+    pre-aggregate -> one groupby. The SQL twin replays the chain with
+    a lead() window."""
+    from entitylinking_ray.stages.blocking import (
+        _bucket_of,
+        _group_slices,
+        _n_buckets,
+    )
+    from entitylinking_ray.util import distinct_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "bkey": b["event_type"]
+                + "|"
+                + b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H"),
+            }
+        ).drop_duplicates()
+
+    buckets = distinct_rows(
+        ds.map_batches(bucket, batch_format="pandas"), ["user_id", "bkey"]
+    )
+    nb = _n_buckets()
+    hashed = buckets.map_batches(
+        lambda b: b.append_column(
+            "hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def typed_chain(group: pa.Table) -> pd.DataFrame:
+        order = pc.sort_indices(
+            group, sort_keys=[("bkey", "ascending"), ("user_id", "ascending")]
+        )
+        g = group.take(order)
+        keys = g["bkey"].to_numpy(zero_copy_only=False)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        sa, sb, sr = [], [], []
+        for s, e in _group_slices(keys):
+            if e - s < 2:
+                continue
+            sa.append(users[s : e - 1])
+            sb.append(users[s + 1 : e])
+            sr.append(np.repeat(keys[s], e - s - 1))
+        if not sa:
+            return pd.DataFrame(
+                {
+                    "relation": pd.Series([], dtype="object"),
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        rel = pd.Series(np.concatenate(sr)).str.split("|", n=1).str[0]
+        out = (
+            pd.DataFrame(
+                {
+                    "relation": rel.to_numpy(),
+                    "src": np.concatenate(sa),
+                    "dst": np.concatenate(sb),
+                }
+            )
+            # map-side combiner: per-bucket multiplicities pre-sum so the
+            # global groupby moves one row per distinct typed edge
+            .groupby(["relation", "src", "dst"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    edges = hashed.groupby("hb").map_groups(typed_chain, batch_format="pyarrow")
+    agg = edges.groupby(["relation", "src", "dst"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "relation": b["relation"],
+                "src": b["src"],
+                "dst": b["dst"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RELATION_EDGES = """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hh
+  FROM events
+), chain AS (
+  SELECT event_type AS relation, user_id AS src,
+         lead(user_id) OVER (
+             PARTITION BY event_type, hh ORDER BY user_id) AS dst
+  FROM b
+)
+SELECT relation, src, dst, CAST(count(*) AS BIGINT) AS n
+FROM chain WHERE dst IS NOT NULL
+GROUP BY relation, src, dst
+"""
 
 
 def q_unionfind_events(sf_dir: str):
@@ -4920,98 +5040,103 @@ FROM c
 
 
 QUERIES = {
-    "filter_project": q_filter_project,
-    "agg_groupby": q_agg_groupby,
-    "join_dims": q_join_dims,
-    "join_large": q_join_large,
-    "semi_join": q_semi_join,
+    # --- oracled queries first, fastest first: dict order is the
+    # driver's run order, and its verification window is bounded —
+    # every SQL-checkable query must land inside it (VERDICT r3 #3)
+    "sample_hash": q_sample_hash,
+    "strip_markup": q_strip_markup,
     "anti_join": q_anti_join,
-    "outer_join": q_outer_join,
-    "topk": q_topk,
-    "group_topk": q_group_topk,
+    "case_bucket": q_case_bucket,
+    "correlation": q_correlation,
+    "date_funcs": q_date_funcs,
     "distinct": q_distinct,
-    "minmax_norm": q_minmax_norm,
-    "textstats": q_textstats,
-    "langid": q_langid,
+    "explode_tokens": q_explode_tokens,
+    "extract_mentions": q_extract_mentions,
     "fingerprint": q_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_minhash_md5": q_dedup_minhash_md5,
-    "dedup_jaccard_md5": q_dedup_jaccard_md5,
-    "ner_f1": q_ner_f1,
     "jaro_winkler": q_jaro_winkler,
-    "levenshtein": q_levenshtein,
-    "window_hourly": q_window_hourly,
-    "window_hopping": q_window_hopping,
-    "approx_distinct": q_approx_distinct,
-    "heavy_hitters": q_heavy_hitters,
-    "sessionize": q_sessionize,
-    "rolling_sum": q_rolling_sum,
+    "knn_bruteforce": q_knn_bruteforce,
+    "langid": q_langid,
+    "percent_rank": q_percent_rank,
+    "quality_gopher": q_quality_gopher,
+    "quantiles": q_quantiles,
+    "redact_pii": q_redact_pii,
+    "semi_join": q_semi_join,
+    "string_agg": q_string_agg,
+    "string_funcs": q_string_funcs,
+    "textstats": q_textstats,
     "event_funnel": q_event_funnel,
-    "set_overlap_join": q_set_overlap_join,
+    "group_minmax": q_group_minmax,
+    "group_topk": q_group_topk,
+    "histogram": q_histogram,
+    "lag_delta": q_lag_delta,
+    "levenshtein": q_levenshtein,
+    "minmax_norm": q_minmax_norm,
     "ntile": q_ntile,
-    "group_mode": q_group_mode,
+    "rolling_sum": q_rolling_sum,
+    "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
+    "topk": q_topk,
+    "window_hopping": q_window_hopping,
+    "window_hourly": q_window_hourly,
+    "decontaminate": q_decontaminate,
+    "dedup_exact": q_dedup_exact,
+    "join_dims": q_join_dims,
     "json_extract": q_json_extract,
     "rollup": q_rollup,
-    "pivot": q_pivot,
-    "string_agg": q_string_agg,
-    "curate_corpus": q_curate_corpus,
-    "date_funcs": q_date_funcs,
-    "explode_tokens": q_explode_tokens,
-    "histogram": q_histogram,
-    "correlation": q_correlation,
-    "lag_delta": q_lag_delta,
-    "percent_rank": q_percent_rank,
     "zscore": q_zscore,
-    "top_terms": q_top_terms,
-    "decontaminate": q_decontaminate,
-    "quality_gopher": q_quality_gopher,
-    "strip_markup": q_strip_markup,
-    "lm_unigram": q_lm_unigram,
+    "embed_centroids": q_embed_centroids,
+    "heavy_hitters": q_heavy_hitters,
+    "pivot": q_pivot,
     "sequence_pack": q_sequence_pack,
-    "prepare_corpus": q_prepare_corpus,
-    "redact_pii": q_redact_pii,
-    "split_leakage_free": q_split_leakage_free,
-    "quantiles": q_quantiles,
-    "quantiles_sketch": q_quantiles_sketch,
-    "sample_hash": q_sample_hash,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
-    "stratified_sample": q_stratified_sample,
+    "lm_unigram": q_lm_unigram,
+    "top_terms": q_top_terms,
     "bloom_semi_join": q_bloom_semi_join,
+    "group_mode": q_group_mode,
+    "curate_corpus": q_curate_corpus,
+    "set_overlap_join": q_set_overlap_join,
+    "agg_groupby": q_agg_groupby,
+    "ner_f1": q_ner_f1,
+    "dedup_jaccard_md5": q_dedup_jaccard_md5,
+    "relation_edges": q_relation_edges,
     "unionfind_events": q_unionfind_events,
-    "pagerank": q_pagerank,
-    "knn_bruteforce": q_knn_bruteforce,
-    "embed_centroids": q_embed_centroids,
-    "extract_mentions": q_extract_mentions,
+    "outer_join": q_outer_join,
+    "revenue_by_nation": q_revenue_by_nation,
+    "join_large": q_join_large,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_simhash": q_dedup_simhash,
     "entity_linking": q_entity_linking,
-    "entity_linking_blocked": q_entity_linking_blocked,
-    "entity_linking_hybrid": q_entity_linking_hybrid,
+    "filter_project": q_filter_project,
+    "prepare_corpus": q_prepare_corpus,
     "bm25_rank": q_bm25_rank,
-    "per_type_accuracy": q_per_type_accuracy,
+    "entity_linking_blocked": q_entity_linking_blocked,
     "per_corpus_accuracy": q_per_corpus_accuracy,
     "recall_at_k": q_recall_at_k,
-    "blocking_recall": q_blocking_recall,
-    "btl_ranking": q_btl_ranking,
-    "davidson_ranking": q_davidson_ranking,
-    "revenue_by_nation": q_revenue_by_nation,
-    "group_minmax": q_group_minmax,
-    "string_funcs": q_string_funcs,
-    "case_bucket": q_case_bucket,
+    "per_type_accuracy": q_per_type_accuracy,
+    # --- rows-only queries (no SQL-expressible oracle) run last
     "knn_lsh": q_knn_lsh,
+    "quantiles_sketch": q_quantiles_sketch,
+    "approx_distinct": q_approx_distinct,
     "knn_ivf": q_knn_ivf,
     "knn_ivfpq": q_knn_ivfpq,
-    "media_features": q_media_features,
-    "media_decode_real": q_media_decode_real,
-    "plackett_luce": q_plackett_luce,
     "confidence_blend": q_confidence_blend,
-    "er_f1": q_er_f1,
-    "incremental_er": q_incremental_er,
-    "er_clusters": q_er_clusters,
+    "plackett_luce": q_plackett_luce,
+    "pagerank": q_pagerank,
+    "btl_ranking": q_btl_ranking,
+    "split_leakage_free": q_split_leakage_free,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "media_decode_real": q_media_decode_real,
+    "media_features": q_media_features,
+    "davidson_ranking": q_davidson_ranking,
     "er_flat_text": q_er_flat_text,
+    "blocking_recall": q_blocking_recall,
+    "er_clusters": q_er_clusters,
+    "dedup_embedding": q_dedup_embedding,
+    "incremental_er": q_incremental_er,
+    "entity_linking_hybrid": q_entity_linking_hybrid,
+    "er_f1": q_er_f1,
 }
 
 ORACLE_SQL = {
@@ -5068,6 +5193,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "unionfind_events": SQL_UNIONFIND_EVENTS,
+    "relation_edges": SQL_RELATION_EDGES,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embed_centroids": SQL_EMBED_CENTROIDS,
     "extract_mentions": SQL_EXTRACT_MENTIONS,
