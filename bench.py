@@ -73,6 +73,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from entitylinking_ray.util import quiet_empty_block_schema_warnings
+
+    quiet_empty_block_schema_warnings()
+
     import pyarrow.parquet as pq
 
     from entitylinking_ray.config import EngineConfig

@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    from entitylinking_ray.util import quiet_empty_block_schema_warnings
+
+    quiet_empty_block_schema_warnings()
+
     from entitylinking_ray.config import EngineConfig
     from entitylinking_ray.pipelines.entity_resolution import run_checkpointed
 

@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from entitylinking_ray.config import EngineConfig
+from entitylinking_ray.util import read_parquet_clean, strip_schema_metadata
 from entitylinking_ray.functions.strsim import jaro_winkler_batch, levenshtein
 from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id
 from entitylinking_ray.functions.textnorm import normalize, normalize_arrow
@@ -54,7 +55,7 @@ def _sql_fixed_sum(expr: str, scale: int, alias: str) -> str:
 
 
 def _t(sf_dir: str, name: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet")
 
 
 def _nparts(rows_hint: int | None = None) -> int:
@@ -81,7 +82,7 @@ _DECON_N = 3
 
 def q_filter_project(sf_dir: str):
     """M-ops: vectorized filter + computed column, column-pruned read."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -109,7 +110,7 @@ FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01'
 def q_agg_groupby(sf_dir: str):
     """A-ops (TPC-H Q1 shape): groupby-aggregate with per-batch partial
     pre-aggregation done by Ray's hash aggregate."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -194,7 +195,7 @@ def q_join_dims(sf_dir: str):
                 }
             )
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
     )
     out = (
@@ -225,10 +226,10 @@ GROUP BY r_name
 def q_join_large(sf_dir: str):
     """Large-large hash join (Dataset.join) + aggregate + broadcast dim:
     revenue per customer."""
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -307,7 +308,7 @@ def q_semi_join(sf_dir: str):
                 self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
             return b.filter(pc.is_in(b["c_custkey"], value_set=self.keys))
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(SemiFilter(), batch_format="pyarrow")
 
@@ -340,7 +341,7 @@ def q_anti_join(sf_dir: str):
                 self.keys = pa.array(sorted(ray.get(kref)), pa.int64())
             return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=self.keys)))
 
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     ).map_batches(AntiFilter(), batch_format="pyarrow")
 
@@ -362,10 +363,10 @@ def q_bloom_semi_join(sf_dir: str):
     no longer fits as an exact set on every worker."""
     from entitylinking_ray.stages.joins import semi_join_bloom
 
-    right = ray.data.read_parquet(
+    right = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
     ).filter(expr="o_orderstatus == 'O'")
-    left = ray.data.read_parquet(
+    left = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     n_hint = max(64, right.count())
@@ -394,10 +395,10 @@ def q_outer_join(sf_dir: str):
     order; the outer side's nulls become 0 vectorized after the join."""
     from entitylinking_ray.util import num_join_partitions, sanitize_blocks
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def cnt(b: pa.Table) -> pa.Table:
         vc = pc.value_counts(b["o_custkey"].combine_chunks())
@@ -444,7 +445,7 @@ GROUP BY c_custkey, c_name
 
 def q_topk(sf_dir: str):
     """K1: global top-k with deterministic tie-break."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -458,7 +459,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def q_group_topk(sf_dir: str):
     """K1 per-group: top-3 line items by price within each order (subset)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
     )
@@ -511,7 +512,7 @@ QUALIFY row_number() OVER (
 
 def q_distinct(sf_dir: str):
     """D4: distinct values via hash-partitioned groupby."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="_c")).select_columns(["lang"])
 
 
@@ -521,7 +522,7 @@ SQL_DISTINCT = "SELECT DISTINCT lang FROM documents"
 def q_minmax_norm(sf_dir: str):
     """M19: global min-max normalization (two-pass: tiny aggregate, then a
     broadcast map — no full materialization)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     agg = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
@@ -553,7 +554,7 @@ FROM orders
 def q_textstats(sf_dir: str):
     """Token counting + lexical-diversity quality scoring (identical
     float expressions both sides — no rounding needed)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -597,7 +598,7 @@ FROM toks
 
 def q_langid(sf_dir: str):
     """Stopword-marker language ID (deterministic argmax, ties by code)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def li(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -645,7 +646,7 @@ def q_fingerprint(sf_dir: str):
     """Document fingerprinting (md5 of normalized text)."""
     from entitylinking_ray.stages.dedup import add_fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return add_fingerprint(ds, "text").select_columns(["doc_id", "fingerprint"])
 
 
@@ -657,7 +658,7 @@ SQL_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM document
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(ds, "text", "doc_id")
 
 
@@ -670,7 +671,7 @@ FROM documents GROUP BY 1
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dedup (no SQL oracle: LSH banding is not
     SQL-expressible; rows-only check, full correctness in pytest)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
 
 
@@ -681,7 +682,7 @@ def q_dedup_jaccard(sf_dir: str):
     the n-gram Jaccard variant of the dedup family. No SQL oracle (LSH
     banding is probabilistic candidate generation); the exact-Jaccard
     kernel and estimate-vs-exact agreement are pinned in pytest."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8, verify="exact")
 
 
@@ -693,7 +694,7 @@ def q_dedup_embedding(sf_dir: str):
     SQL-expressible); recall/exactness pinned in pytest."""
     from entitylinking_ray.stages.dedup import embedding_neardup
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_neardup(
@@ -712,7 +713,7 @@ def q_dedup_simhash(sf_dir: str):
     exactness on pathological band skew (e.g. many empty texts) for a
     bounded per-bucket cross product. Verifies signatures, banding
     completeness, Hamming verification and union-find end to end."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup(
         ds, "text", "doc_id", max_hamming=3, hash_fn="md5",
         config=EngineConfig(max_full_block_size=1_000_000),
@@ -762,7 +763,7 @@ def q_dedup_minhash_md5(sf_dir: str):
     dedup_minhash (crc hashing, 64 perms, rows-only)."""
     from entitylinking_ray.stages.dedup import minhash_dedup_md5
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup_md5(ds, "text", "doc_id", min_eq=4)
 
 
@@ -835,7 +836,7 @@ def q_dedup_jaccard_md5(sf_dir: str):
     dedup_jaccard (LSH candidates + exact verify, rows-only)."""
     from entitylinking_ray.stages.dedup import jaccard_dedup_md5
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return jaccard_dedup_md5(ds, "text", "doc_id", threshold=0.5)
 
 
@@ -897,7 +898,7 @@ def q_ner_f1(sf_dir: str):
     range-overlap counting, five integer partials reduced to one row."""
     from entitylinking_ray.pipelines.eval import span_f1_metrics, vocab_spans
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     pred = vocab_spans(ds, _NER_PRED_VOCAB)
@@ -1064,7 +1065,7 @@ def q_levenshtein(sf_dir: str):
         _triu,
     )
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
     )
     nb = _n_buckets()
@@ -1134,7 +1135,7 @@ def q_window_hourly(sf_dir: str):
     run). String window key: engine-neutral (timestamp dtypes hash
     differently across engines); half-to-even rounding matches both
     numpy and the SQL twin's fixed-point sum."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -1196,7 +1197,7 @@ def q_heavy_hitters(sf_dir: str):
     never moves, only the k-entry summaries and the survivors do."""
     from entitylinking_ray.functions.sketch import heavy_hitters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
     return heavy_hitters(ds, "text", min_count=50, k=4096, tokenize=True)
 
 
@@ -1215,7 +1216,7 @@ def q_approx_distinct(sf_dir: str):
     SQL-reproducible); accuracy vs exact distinct is pinned in pytest."""
     from entitylinking_ray.functions.sketch import approx_distinct
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return approx_distinct(ds, "user_id", ["event_type"])
@@ -1227,7 +1228,7 @@ def q_window_hopping(sf_dir: str):
     by the map stage (2 rows per event, vectorized), then the same
     partial-aggregating groupby as the tumbling window; no per-window
     state."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -1308,7 +1309,7 @@ def q_sessionize(sf_dir: str):
     Python dispatch: measured 8 s vs 0.3 s at 35k keys — blocking.py)."""
     from entitylinking_ray.stages.blocking import _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     nb = _n_buckets()
@@ -1366,7 +1367,7 @@ def q_rolling_sum(sf_dir: str):
     SQL window twin."""
     from entitylinking_ray.stages.blocking import _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     nb = _n_buckets()
@@ -1426,7 +1427,7 @@ def q_event_funnel(sf_dir: str):
     without per-key dispatch."""
     from entitylinking_ray.stages.blocking import _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
     )
@@ -1486,7 +1487,7 @@ def q_set_overlap_join(sf_dir: str):
     product the SQL twin runs."""
     from entitylinking_ray.stages.setsim import set_overlap_join
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return set_overlap_join(ds, "text", "doc_id", min_overlap=30)
@@ -1517,7 +1518,7 @@ def q_ntile(sf_dir: str):
     here)."""
     from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
@@ -1582,7 +1583,7 @@ def q_group_mode(sf_dir: str):
     the winner pick is a second vectorized pass over the model-sized
     count table — the heavy shuffle moves pre-aggregated counts, never
     raw events."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
@@ -1651,7 +1652,7 @@ def q_correlation(sf_dir: str):
     one 5-column groupby-less reduce, and the final float is computed
     from identical integer operands in both engines — bit-exact without
     trusting either engine's corr() summation order."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
     )
 
@@ -1725,7 +1726,7 @@ def q_lag_delta(sf_dir: str):
     vs the SQL twin regardless of timestamp precision."""
     from entitylinking_ray.stages.blocking import _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     nb = _n_buckets()
@@ -1786,7 +1787,7 @@ def q_percent_rank(sf_dir: str):
     (per-(group,value) count aggregate, per-group prefix sum over sorted
     distinct values, broadcast-join back) replaces the per-group sort;
     at 5 keys the simple form wins."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
@@ -1829,7 +1830,7 @@ def q_zscore(sf_dir: str):
     overflow in n*sxx at large n), so the floats are bit-exact."""
     import math
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
     )
@@ -1928,7 +1929,7 @@ def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
 
     if broadcast_max_docs is None:
         broadcast_max_docs = _TOP_TERMS_BROADCAST_MAX_DOCS
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -2090,7 +2091,7 @@ def q_histogram(sf_dir: str):
     value_counts pre-aggregate rides a 20-row groupby."""
     from ray.data.aggregate import Max, Min
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
     )
     mm = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
@@ -2130,7 +2131,7 @@ def q_date_funcs(sf_dir: str):
     day-of-week plus day difference to a fixed epoch date — all
     vectorized pandas .dt accessors, integer outputs bit-exact vs the
     SQL twins."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     )
     epoch = pd.Timestamp("1995-01-01")
@@ -2169,7 +2170,7 @@ def q_explode_tokens(sf_dir: str):
     with its 1-based position. Vectorized flatten — list offsets give
     parent ids and per-row positions by run arithmetic, no Python loop
     over tokens."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     from entitylinking_ray.functions.textnorm import normalize_arrow
@@ -2216,7 +2217,7 @@ def q_curate_corpus(sf_dir: str):
     against the SQL twin (QUALIFY min-id-per-fingerprint)."""
     from entitylinking_ray.pipelines.curation import curate_corpus
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return curate_corpus(ds, min_quality=0.5, lang="en", min_tokens=10)
 
 
@@ -2271,7 +2272,7 @@ def q_prepare_corpus(sf_dir: str):
     lazily into one streaming Ray pipeline whose only shuffles are the
     fingerprint-bucket dedup, the tiny prefix bucket-partials pass, and
     the per-bucket scan."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return prepare_corpus_packed(
@@ -2334,7 +2335,7 @@ def q_rollup(sf_dir: str):
     integer cent sums make every level bit-exact regardless of
     aggregation order. NULL dimension markers are encoded as
     'ALL' / -1 on both sides to keep the comparison type-stable."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
     )
 
@@ -2395,7 +2396,7 @@ def q_pivot(sf_dir: str):
     map-side crosstab partials (vectorized pandas crosstab per batch)
     into one groupby-sum over the user key — the shuffle moves one row
     per (user, batch), never raw events."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
 
@@ -2403,7 +2404,7 @@ def q_pivot(sf_dir: str):
         return pa.table({"event_type": pc.unique(b.column("event_type"))})
 
     vocab = (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
         .map_batches(batch_vocab, batch_format="pyarrow")
         .take_all()
     )
@@ -2441,7 +2442,7 @@ def q_string_agg(sf_dir: str):
     value-exact vs the SQL twin's ORDER BY string_agg)."""
     from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
-    sup = ray.data.read_parquet(
+    sup = read_parquet_clean(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
     )
     nb = _n_buckets()
@@ -2484,7 +2485,7 @@ def q_json_extract(sf_dir: str):
     tiny groupby. The avg is computed as sum/count from the SAME int64
     operands in both engines, so the float is bit-identical to the SQL
     twin."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
@@ -2546,7 +2547,7 @@ def q_pagerank(sf_dir: str):
     from entitylinking_ray.stages.pagerank import pagerank
     from entitylinking_ray.util import distinct_rows
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
 
@@ -2565,7 +2566,7 @@ def q_pagerank(sf_dir: str):
     )
     nb = _n_buckets()
     hashed = buckets.map_batches(
-        lambda b: b.append_column(
+        lambda b: strip_schema_metadata(b).append_column(
             "hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
@@ -2623,7 +2624,7 @@ def q_relation_edges(sf_dir: str):
     )
     from entitylinking_ray.util import distinct_rows
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
 
@@ -2642,7 +2643,7 @@ def q_relation_edges(sf_dir: str):
     )
     nb = _n_buckets()
     hashed = buckets.map_batches(
-        lambda b: b.append_column(
+        lambda b: strip_schema_metadata(b).append_column(
             "hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
@@ -2728,7 +2729,7 @@ def q_unionfind_events(sf_dir: str):
     connected when they co-occur in the same (event_type, hour) bucket;
     component id = min user_id reachable. Exercises the engine's real
     connected_components stage (SURVEY §7.2 step 5)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
 
@@ -2755,7 +2756,9 @@ def q_unionfind_events(sf_dir: str):
 
     nb = _n_buckets()
     hashed = buckets.map_batches(
-        lambda b: b.append_column("hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)),
+        lambda b: strip_schema_metadata(b).append_column(
+            "hb", _bucket_of(b["bkey"].to_numpy(zero_copy_only=False), nb)
+        ),
         batch_format="pyarrow",
     )
 
@@ -2865,10 +2868,10 @@ def q_asof_join(sf_dir: str):
     (e2e pipelines join mentions to the latest snapshot)."""
     from entitylinking_ray.stages.temporal import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    od = ray.data.read_parquet(
+    od = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -2917,7 +2920,7 @@ def q_range_join(sf_dir: str):
     lookup + repeat/offset pair expansion in-bucket."""
     from entitylinking_ray.stages.temporal import range_join
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     prior = ev.map_batches(
@@ -2958,7 +2961,7 @@ def q_stratified_sample(sf_dir: str):
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
 
     n_per = 50
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
     )
     nb = _n_buckets()
@@ -3021,7 +3024,7 @@ def q_quantiles(sf_dir: str):
     minimum; no driver materialization."""
     from entitylinking_ray.stages.blocking import _bucket_of, _group_slices, _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     nb = _n_buckets()
@@ -3080,7 +3083,7 @@ def q_quantiles_sketch(sf_dir: str):
     )
     from entitylinking_ray.stages.blocking import _group_slices
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -3135,7 +3138,7 @@ def q_sample_hash(sf_dir: str):
     shuffle; SQL-replayable md5 rule, fully oracled."""
     import hashlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def split(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
@@ -3187,7 +3190,7 @@ def q_knn_bruteforce(sf_dir: str):
     qids = qtbl["vec_id"].to_pylist()
     queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
 
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
@@ -3227,7 +3230,7 @@ QUALIFY "rank" <= 10
 def q_embed_centroids(sf_dir: str):
     """Per-label centroid of the embedding column with per-batch partial
     aggregation (combiner before the shuffle — SURVEY §4.1 skew row)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
 
@@ -3291,7 +3294,7 @@ _MENTION_SQL = f"array_to_string(list_slice(string_split({_NORM_SQL}, ' '), 1, 3
 def q_extract_mentions(sf_dir: str):
     """Deterministic mention extraction from flat text (M13-M15 analog:
     leading-token fallback, as the fallback NER does on caseless text)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def ext(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -3425,7 +3428,7 @@ def q_entity_linking_blocked(sf_dir: str):
     from entitylinking_ray.pipelines.entity_linking import link_to_catalog_blocked
 
     mentions = _part_mentions(sf_dir)
-    catalog = ray.data.read_parquet(
+    catalog = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     return link_to_catalog_blocked(
@@ -3442,7 +3445,7 @@ def q_entity_linking_blocked(sf_dir: str):
 
 def _part_mentions(sf_dir: str):
     """Perturbed-part-name mention table (SQL twin: _PART_MENTION_SQL)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
 
@@ -3495,7 +3498,7 @@ def q_entity_linking_hybrid(sf_dir: str):
     from entitylinking_ray.registry import searcher
 
     mentions = _part_mentions(sf_dir)
-    catalog = ray.data.read_parquet(
+    catalog = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     return searcher("hybrid")(
@@ -3669,7 +3672,7 @@ def q_per_corpus_accuracy(sf_dir: str):
     mentions = men.map_batches(
         lambda b: b.select(["doc_id", "mention"]), batch_format="pyarrow"
     )
-    catalog = ray.data.read_parquet(
+    catalog = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     preds = link_to_catalog_blocked(
@@ -3751,7 +3754,7 @@ def q_bm25_rank(sf_dir: str):
     from entitylinking_ray.functions.lexical import bm25_batch, corpus_stats
     from entitylinking_ray.pipelines.entity_linking import link_to_catalog_blocked
 
-    catalog = ray.data.read_parquet(
+    catalog = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     df, n_docs, avgdl = corpus_stats(
@@ -3852,7 +3855,7 @@ def q_recall_at_k(sf_dir: str):
         top_k=1,
     ).select_columns(["doc_id", "entity_id"])
 
-    catalog = ray.data.read_parquet(
+    catalog = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
     )
     top10 = link_to_catalog_blocked(
@@ -3971,8 +3974,8 @@ def q_revenue_by_nation(sf_dir: str):
     }
     cref = ray.put(c2n)
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    li = ray.data.read_parquet(
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
@@ -4043,7 +4046,7 @@ GROUP BY n_name
 def q_group_minmax(sf_dir: str):
     """Per-group min-max normalization (M19 within partitions): two-pass —
     tiny per-group extrema aggregate broadcast back into a map."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
     )
@@ -4093,7 +4096,7 @@ FROM lineitem
 def q_string_funcs(sf_dir: str):
     """Vectorized Arrow string kernels (§2.8 scalar library): upper,
     substring, length, concat."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def f(b: pa.Table) -> pa.Table:
         head = pc.utf8_slice_codeunits(b["text"], 0, 12)
@@ -4121,7 +4124,7 @@ FROM documents
 
 def q_case_bucket(sf_dir: str):
     """CASE-WHEN value bucketing + grouped counts (vectorized conditions)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
 
     def f(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy(zero_copy_only=False)
@@ -4180,7 +4183,7 @@ def _bucket_scores(sf_dir: str):
     a shuffle hash bucket of the tournament key attached."""
     from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "value"]
     )
 
@@ -4363,7 +4366,7 @@ def q_er_flat_text(sf_dir: str):
     from entitylinking_ray.pipelines.entity_resolution import resolve_entities
     from entitylinking_ray.sources.documents import from_flat_text
 
-    flat = ray.data.read_parquet(
+    flat = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     docs = from_flat_text(flat)
@@ -4451,7 +4454,7 @@ def q_knn_lsh(sf_dir: str):
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
     queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
@@ -4471,7 +4474,7 @@ def q_knn_ivf(sf_dir: str):
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
     queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
@@ -4495,7 +4498,7 @@ def q_knn_ivfpq(sf_dir: str):
     queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
     d = queries.shape[1]
     m = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
-    corpus = ray.data.read_parquet(
+    corpus = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
@@ -4654,7 +4657,7 @@ def q_decontaminate(sf_dir: str):
     one."""
     from entitylinking_ray.stages.hygiene import contamination_hits_auto
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return contamination_hits_auto(
@@ -4683,7 +4686,7 @@ def q_quality_gopher(sf_dir: str):
     both floats are single divisions of int64 counts in the same
     expression order as the SQL twin, so values are bit-exact without
     any log/round fudging."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -4768,7 +4771,7 @@ def q_strip_markup(sf_dir: str):
     construction — then strips every <...> tag with ONE vectorized regex
     pass and reports the number of boilerplate characters removed. No
     Python per row anywhere; at 100 TB this is a map-only stage."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -4815,7 +4818,7 @@ def q_lm_unigram(sf_dir: str):
     broadcast once via ray.put; pass 2 scores each doc batch-locally
     with a vectorized pandas map. At an unbounded vocabulary the scoring
     side becomes a keyed join on token — same pass structure."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -4893,7 +4896,7 @@ def q_split_leakage_free(sf_dir: str):
 
     from entitylinking_ray.stages.dedup import minhash_dedup
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     labels = minhash_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
@@ -4928,7 +4931,7 @@ def q_redact_pii(sf_dir: str):
     CONSTRUCTS a deterministic contact line per document (replayable in
     the DuckDB twin), then redacts with two vectorized regex passes —
     map-only, zero-copy Arrow end to end."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -4996,7 +4999,7 @@ def q_sequence_pack(sf_dir: str):
     keeps the driver table around 10^6 rows."""
     from entitylinking_ray.stages.prefix import pack_sequences
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 

@@ -38,7 +38,9 @@ def read_documents(path: str) -> ray.data.Dataset:
     """Read a canonical documents table (Lance if available, else Parquet)."""
     if path.endswith(".lance") and _lance_available():
         return ray.data.read_lance(path)
-    return ray.data.read_parquet(path)
+    from entitylinking_ray.util import read_parquet_clean
+
+    return read_parquet_clean(path)
 
 
 def write_documents(ds: ray.data.Dataset, path: str) -> None:
@@ -48,7 +50,9 @@ def write_documents(ds: ray.data.Dataset, path: str) -> None:
 def read_documents_files(paths: list[str]) -> ray.data.Dataset:
     """Read an explicit list of canonical-document parquet files (the
     partition-granular resume path reads per-partition file chunks)."""
-    return ray.data.read_parquet(paths)
+    from entitylinking_ray.util import read_parquet_clean
+
+    return read_parquet_clean(paths)
 
 
 # --- labeled-data loaders (S3-S6: Zeshel / sample-data / eval-setup shape) ---

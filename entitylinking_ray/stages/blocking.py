@@ -300,7 +300,9 @@ def candidate_pairs(
             )
         else:
             key_col = b.column("pair_key")
-        return b.append_column(
+        from entitylinking_ray.util import strip_schema_metadata
+
+        return strip_schema_metadata(b).append_column(
             "pbucket", _bucket_of(key_col.to_numpy(zero_copy_only=False), nb)
         )
 

@@ -137,8 +137,10 @@ def _pairs_from_buckets(
     )
 
     nb = _n_buckets()
+    from entitylinking_ray.util import strip_schema_metadata
+
     hashed = buckets.map_batches(
-        lambda b: b.append_column(
+        lambda b: strip_schema_metadata(b).append_column(
             "hb", _bucket_of(b.column("bucket_key").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",
@@ -210,7 +212,7 @@ def _pairs_from_buckets(
         pairs_in_hash_bucket, batch_format="pyarrow"
     )
     rebucketed = pairs.map_batches(
-        lambda b: b.append_column(
+        lambda b: strip_schema_metadata(b).append_column(
             "pb", _bucket_of(b.column("pair_key").to_numpy(zero_copy_only=False), nb)
         ),
         batch_format="pyarrow",

@@ -87,8 +87,13 @@ def prefix_sums(
     cref = ray.put(carry)
 
     def add_bucket(b: pa.Table) -> pa.Table:
+        from entitylinking_ray.util import strip_schema_metadata
+
         k = b.column(key_col).to_numpy(zero_copy_only=False)
-        return b.append_column(
+        # metadata strip: this table feeds the bucket shuffle, and a
+        # pandas-descended batch's schema metadata breaks schema hashing
+        # in the reduce tasks (see util.strip_schema_metadata)
+        return strip_schema_metadata(b).append_column(
             "bucket", pa.array((k // bucket_width).astype(np.int64), pa.int64())
         )
 

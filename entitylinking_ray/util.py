@@ -19,6 +19,62 @@ def pa_type_of(t) -> "pa.DataType":
         return pa.string()
 
 
+def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
+    """``ray.data.read_parquet`` with the file's PANDAS METADATA stripped
+    from the Arrow schema. Parquet files written via pandas carry a
+    ``b'pandas'`` metadata dict that makes ``hash(pa.Schema)`` raise, and
+    Ray's ``unify_schemas`` then logs ``Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'`` once per reduce task — the
+    round-3 bench-log spam. Passing the cleaned (and column-projected)
+    schema to the read removes the metadata at the source; falls back to
+    a plain read if the schema can't be pre-read."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        f = path[0] if isinstance(path, (list, tuple)) else path
+        if os.path.isdir(f):
+            names = sorted(
+                n for n in os.listdir(f) if n.endswith(".parquet")
+            )
+            f = os.path.join(f, names[0])
+        sch = pq.read_schema(f).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return ray.data.read_parquet(path, columns=columns, schema=sch, **kw)
+    except Exception:
+        return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def quiet_empty_block_schema_warnings() -> None:
+    """Silence Ray Data's driver-side "Operator produced a RefBundle with
+    a different schema ... new schema: ." warning. The schema-less empty
+    bundles it flags are produced INSIDE Ray's sort/aggregate shuffle for
+    hash partitions that received zero rows (partitions > distinct keys —
+    routine at small scale, impossible to prevent from user code; every
+    engine-produced empty table carries its schema). Entry points call
+    this after ray.init; the fixable producers — pandas metadata on
+    parquet schemas and on pandas-descended arrow batches — are fixed at
+    the source instead (read_parquet_clean / strip_schema_metadata)."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
+
+def strip_schema_metadata(t):
+    """Drop Arrow schema metadata from a table. A pandas block converted
+    to a pyarrow batch carries a ``b'pandas'`` metadata dict; tables
+    DERIVED from that batch (filter/select/append_column) keep it, and
+    when they reach a sort/aggregate shuffle, ``hash(pa.Schema)`` raises
+    inside Ray's ``unify_schemas`` — one warning line per reduce task.
+    Apply to arrow outputs of map stages that feed a shuffle."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def num_join_partitions(rows_hint: int | None = None) -> int:
     """Partition count for hash joins/shuffles: scale with data volume,
     capped by cluster CPUs. Each partition is a shuffle-aggregator ACTOR
@@ -76,6 +132,9 @@ def sanitize_blocks(ds: ray.data.Dataset, batch_size: int = 65536) -> ray.data.D
     field reference" on the empty schema. Passing the dataset through
     ``map_batches`` with an explicit ``batch_size`` re-batches across block
     boundaries, dropping the degenerate blocks. Use on every join input
-    that descends from a groupby.
+    that descends from a groupby. Also strips schema metadata (see
+    :func:`strip_schema_metadata`).
     """
-    return ds.map_batches(lambda b: b, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(
+        strip_schema_metadata, batch_format="pyarrow", batch_size=batch_size
+    )
