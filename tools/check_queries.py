@@ -72,14 +72,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from entitylinking_ray.util import quiet_empty_block_schema_warnings
-
-    quiet_empty_block_schema_warnings()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, "/root/repo")
+    from entitylinking_ray.util import quiet_empty_block_schema_warnings
+
+    quiet_empty_block_schema_warnings()
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
