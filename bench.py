@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "pagerank",
     "decontaminate",
     "prepare_corpus",
+    # round-4 additions (keys above stay unchanged for cross-round
+    # comparability): top_terms runs its distributed tf⨝df join path at
+    # sf0.1; window_hopping tracks the Arrow-native window rewrite
+    "top_terms",
+    "window_hopping",
 ]
 
 

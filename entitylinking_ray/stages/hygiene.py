@@ -196,6 +196,7 @@ def prepare_corpus_packed(
     bucket_width: int = 1 << 20,
     bench_ds: ray.data.Dataset | None = None,
     broadcast_max_docs: int = DECON_BROADCAST_MAX_DOCS,
+    drop_broadcast_max_ids: int = 1_000_000,
 ) -> ray.data.Dataset:
     """documents -> (doc_id, n_tokens, exclusive_prefix, shard_id):
     curation (quality + language + length filter, first-wins exact
@@ -208,15 +209,25 @@ def prepare_corpus_packed(
     ``stable_key(doc_id) % bench_mod == 0`` (the self-contained contract
     rule — a stand-in, not a real decontamination policy).
 
-    Scale switch (``broadcast_max_docs``, VERDICT r3 #1): at or below the
-    bound, the contaminated-id set is collected once and broadcast via
-    ``ray.put`` (cheapest at small scale); above it, nothing
-    corpus-sized ever lands on the driver — contamination hits come from
-    the bloom-pruned distributed semi join
-    (:func:`contamination_hits_join`) and the contaminated docs are
-    removed by an exact bloom anti join (``stages/joins.anti_join_bloom``)
-    instead of a driver-held frozenset. Both paths produce identical
-    packed output — pinned in pytest."""
+    Scale switches (VERDICT r3 #1). Two independent objects can outgrow
+    the driver, each with its own bound:
+
+    - the BENCH-GRAM set: at or below ``broadcast_max_docs`` corpus
+      docs, bench grams ride a ``ray.put`` frozenset; above it the
+      bloom-pruned distributed semi join
+      (:func:`contamination_hits_join`) computes the hits with nothing
+      gram-shaped on the driver.
+    - the CONTAMINATED-ID set: its measured size decides the drop —
+      at or below ``drop_broadcast_max_ids`` ids (the corpus-relative
+      small case, ~8 MB per million int ids) the ids broadcast; above
+      it an exact bloom anti join (``stages/joins.anti_join_bloom``)
+      removes them with no driver set at all.
+
+    All path combinations produce identical packed output — pinned in
+    pytest. The join-path intermediates (hits, survivor keys) are
+    materialized: each is consumed by two downstream stages, and
+    re-running their producing pipelines costs more than their bounded
+    (id + count columns) footprint."""
     from entitylinking_ray.pipelines.curation import curate_corpus
     from entitylinking_ray.stages.prefix import pack_sequences
 
@@ -245,8 +256,20 @@ def prepare_corpus_packed(
         )
 
     if broadcast:
-        bad: set = set()
         hits = contamination_hits(ds, window, is_bench, bench_ds=bench_ds)
+        n_hits = None
+    else:
+        hits = contamination_hits_join(
+            ds,
+            window,
+            is_bench,
+            bench_ds=bench_ds,
+            n_grams_hint=max(1 << 16, n_docs * 64),
+        ).materialize()
+        n_hits = hits.count()
+
+    if n_hits is None or n_hits <= drop_broadcast_max_ids:
+        bad: set = set()
         for t in hits.iter_batches(batch_format="pandas"):
             bad.update(t["doc_id"].tolist())
         bref = ray.put(frozenset(bad))
@@ -265,22 +288,17 @@ def prepare_corpus_packed(
     else:
         from entitylinking_ray.stages.joins import anti_join_bloom
 
-        hits = contamination_hits_join(
-            ds,
-            window,
-            is_bench,
-            bench_ds=bench_ds,
-            n_grams_hint=max(1 << 16, n_docs * 64),
-        )
-        keyed = curated.map_batches(drop_bench_add_key, batch_format="pyarrow")
+        keyed = curated.map_batches(
+            drop_bench_add_key, batch_format="pyarrow"
+        ).materialize()
         clean = anti_join_bloom(
             keyed,
             hits,
             left_key="doc_id",
             right_key="doc_id",
             left_cols=["doc_id", "n_tokens", "pack_key"],
-            n_items_hint=max(64, n_docs),
-        )
+            n_items_hint=max(64, n_hits),
+        ).materialize()
 
     packed = pack_sequences(
         clean,
@@ -336,7 +354,14 @@ def contamination_hits_join(
             }
         )
 
-    bench_gram_ds = src.map_batches(bench_grams, batch_format="pyarrow")
+    # materialize the bench-gram table: the bloom build AND the exact
+    # verify both consume it, and without a materialize each consumer
+    # re-runs the full producing pass (a whole-corpus map when the
+    # benchmark rows are derived from ds). Size is bounded by the
+    # benchmark suite's gram count, not the corpus.
+    bench_gram_ds = src.map_batches(
+        bench_grams, batch_format="pyarrow"
+    ).materialize()
     grams_ds = ds.map_batches(corpus_grams, batch_format="pyarrow")
     matched = semi_join_bloom(
         grams_ds,

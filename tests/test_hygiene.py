@@ -435,11 +435,20 @@ def test_prepare_corpus_join_path_equals_broadcast(ray_session, tmp_path):
         prepare_corpus_packed(ds, broadcast_max_docs=1_000_000, **kw)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+    # join hits + broadcast drop (the sf0.1 shape), and join hits +
+    # bloom anti-join drop (the full no-driver-state scale shape)
     jn = (
         prepare_corpus_packed(ds, broadcast_max_docs=0, **kw)
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
+    aj = (
+        prepare_corpus_packed(
+            ds, broadcast_max_docs=0, drop_broadcast_max_ids=0, **kw
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
     assert bc.to_dict("records") == jn.to_dict("records")
+    assert bc.to_dict("records") == aj.to_dict("records")
     assert sorted(bc["doc_id"]) == [1, 6]
 
 
