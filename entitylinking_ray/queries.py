@@ -4549,6 +4549,37 @@ def q_knn_ivfpq(sf_dir: str):
     )
 
 
+def q_knn_ivfpq_codes(sf_dir: str):
+    """IVF-PQ over a MATERIALIZED codes table — the build/search split
+    of q_knn_ivfpq (stages/knn.ivfpq_build + ivfpq_search): one pass
+    encodes every vector to (id, ivf_list, m uint8 codes), the codes
+    table materializes, and the search scans ONLY codes (never the raw
+    vector column). Same training and encoder as the per-batch path, so
+    the result is identical — pinned in pytest. Rows-only (approximate
+    by design)."""
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.stages.knn import ivfpq_build, ivfpq_search
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 5)).sort_by("vec_id")
+    queries = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+    d = queries.shape[1]
+    m = 4 if d % 4 == 0 else (2 if d % 2 == 0 else 1)
+    corpus = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], 5)), batch_format="pyarrow"
+    )
+    codes_ds, cent, books = ivfpq_build(
+        corpus, n_lists=16, m=m, ks=16, id_col="vec_id"
+    )
+    codes_ds = codes_ds.materialize()
+    return ivfpq_search(
+        codes_ds, cent, books, queries, k=10, n_probe=4, id_col="vec_id"
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: distinct media refs of the interleaved corpus
     -> image-decode actor pool (deterministic stub features). Rows-only."""
@@ -5164,6 +5195,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "knn_ivf": q_knn_ivf,
     "knn_ivfpq": q_knn_ivfpq,
+    "knn_ivfpq_codes": q_knn_ivfpq_codes,
     "confidence_blend": q_confidence_blend,
     "plackett_luce": q_plackett_luce,
     "pagerank": q_pagerank,

@@ -377,6 +377,226 @@ def _lloyd(train: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> n
     return cent
 
 
+def _ivfpq_train(
+    ds: ray.data.Dataset,
+    n_lists: int,
+    m: int,
+    ks: int,
+    vec_col: str,
+    seed: int,
+    train_sample: int,
+    kmeans_iters: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side IVF-PQ training on a BOUNDED sample: spherical k-means
+    coarse quantizer (n_lists cells) + per-subspace L2 k-means PQ
+    codebooks (m books of ks codewords). Shared by the per-batch path
+    (:func:`ivfpq_knn`) and the materialized-codes path
+    (:func:`ivfpq_build` / :func:`ivfpq_search`)."""
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
+    d = train.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(train))
+    cent = train[rng.choice(len(train), size=n_lists, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(1e-300, np.linalg.norm(v))
+    books = np.stack(
+        [
+            _lloyd(
+                train[:, j * dsub : (j + 1) * dsub],
+                ks,
+                kmeans_iters,
+                np.random.default_rng(seed + 1 + j),
+            )
+            for j in range(m)
+        ]
+    )  # (m, ks, dsub)
+    return cent, books
+
+
+def _pq_encode(norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) PQ codes: per subspace, the L2-nearest codeword index of
+    each row of the unit-normalized matrix (vectorized argmin over the
+    expanded squared distance)."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(norm), m), dtype=np.int64)
+    for j in range(m):
+        x = norm[:, j * dsub : (j + 1) * dsub]
+        cb = books[j]
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :]
+        )
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def ivfpq_build(
+    ds: ray.data.Dataset,
+    n_lists: int = 32,
+    m: int = 4,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+) -> tuple[ray.data.Dataset, np.ndarray, np.ndarray]:
+    """MATERIALIZED IVF-PQ index build — the step the per-batch
+    :func:`ivfpq_knn` docstring points at for real scale: ONE pass over
+    the raw vectors writes the codes table (id, ivf_list, pq_codes:
+    m uint8 values — m bytes per vector instead of 4d), after which
+    every search scans only codes. Returns (codes_ds, centroids,
+    codebooks); the caller materializes / ``write_parquet``s codes_ds
+    once and reuses it across query batches. Codes are IDENTICAL to the
+    per-batch path's (same training, same encoder — pinned in pytest),
+    so :func:`ivfpq_search` reproduces :func:`ivfpq_knn` exactly."""
+    cent, books = _ivfpq_train(
+        ds, n_lists, m, ks, vec_col, seed, train_sample, kmeans_iters
+    )
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.cent = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.cent is None:
+                self.cent = ray.get(cent_ref)
+                self.books = ray.get(books_ref)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], ids.type),
+                        "ivf_list": pa.array([], pa.int32()),
+                        "pq_codes": pa.array([], pa.list_(pa.uint8())),
+                    }
+                )
+            mat = _batch_matrix(batch, vec_col)
+            norm = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
+            lists = np.argmax(norm @ self.cent.T, axis=1).astype(np.int32)
+            codes = _pq_encode(norm, self.books).astype(np.uint8)
+            mm = codes.shape[1]
+            offsets = pa.array(
+                np.arange(len(codes) + 1, dtype=np.int64) * mm, pa.int32()
+            )
+            return pa.table(
+                {
+                    id_col: ids,
+                    "ivf_list": pa.array(lists, pa.int32()),
+                    "pq_codes": pa.ListArray.from_arrays(
+                        offsets, pa.array(codes.ravel(), pa.uint8())
+                    ),
+                }
+            )
+
+    codes_ds = ds.map_batches(Encode(), batch_format="pyarrow", batch_size=4096)
+    return codes_ds, cent, books
+
+
+def ivfpq_search(
+    codes_ds: ray.data.Dataset,
+    cent: np.ndarray,
+    books: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Search a materialized IVF-PQ codes table: queries route to their
+    n_probe nearest cells, every codes batch filters to probed lists and
+    scores by ADC table lookups — the raw vector column is never read.
+    Same ranking (score desc, id asc) and same merge as the other kNN
+    paths."""
+    queries = np.asarray(queries, dtype=np.float64)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+    m, ks, dsub = books.shape
+    order = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    list_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qn)):
+        for c in order[qi]:
+            list_to_q.setdefault(int(c), []).append(qi)
+    lut = np.einsum("qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), books)
+    l2q_ref = ray.put(list_to_q)
+    lut_ref = ray.put(lut)
+
+    class Score:
+        def __init__(self):
+            self.lut = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.lut is None:
+                self.l2q = ray.get(l2q_ref)
+                self.lut = ray.get(lut_ref)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], ids.type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+            if len(batch) == 0:
+                return empty
+            lists = batch.column("ivf_list").to_numpy(zero_copy_only=False)
+            codes_col = batch.column("pq_codes")
+            if isinstance(codes_col, pa.ChunkedArray):
+                codes_col = codes_col.combine_chunks()
+            mm = self.lut.shape[1]
+            codes = (
+                codes_col.values.to_numpy(zero_copy_only=False)
+                .reshape(len(batch), mm)
+                .astype(np.int64)
+            )
+            jidx = np.arange(mm)
+            qidx, vidx, svals = [], [], []
+            for c, qs in self.l2q.items():
+                rows = np.nonzero(lists == c)[0]
+                if len(rows) == 0:
+                    continue
+                rc = codes[rows]
+                for qi in qs:
+                    s = self.lut[qi][jidx[None, :], rc].sum(axis=1)
+                    qidx.append(np.full(len(rows), qi, dtype=np.int64))
+                    vidx.append(rows)
+                    svals.append(s)
+            if not qidx:
+                return empty
+            take = pa.array(np.concatenate(vidx), pa.int64())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(qidx), pa.int64()),
+                    "vec_id": ids.take(take),
+                    "score": pa.array(np.concatenate(svals), pa.float64()),
+                }
+            )
+
+    partials = codes_ds.map_batches(
+        Score(), batch_format="pyarrow", batch_size=4096
+    )
+    return partials.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow"
+    )
+
+
 def ivfpq_knn(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -411,37 +631,11 @@ def ivfpq_knn(
     queries = np.asarray(queries, dtype=np.float64)
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
 
-    # --- driver-side training on a bounded sample ---
-    sample_tbl = ds.limit(train_sample).to_pandas()
-    train = np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float64)
-    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-300)
-    d = train.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    rng = np.random.default_rng(seed)
-    # spherical k-means coarse quantizer (same shape as ivf_knn)
-    n_lists = min(n_lists, len(train))
-    cent = train[rng.choice(len(train), size=n_lists, replace=False)].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(train @ cent.T, axis=1)
-        for c in range(n_lists):
-            members = train[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / max(1e-300, np.linalg.norm(v))
-    # per-subspace PQ codebooks (plain L2 k-means on the raw subvectors)
-    books = np.stack(
-        [
-            _lloyd(
-                train[:, j * dsub : (j + 1) * dsub],
-                ks,
-                kmeans_iters,
-                np.random.default_rng(seed + 1 + j),
-            )
-            for j in range(m)
-        ]
-    )  # (m, ks, dsub)
+    cent, books = _ivfpq_train(
+        ds, n_lists, m, ks, vec_col, seed, train_sample, kmeans_iters
+    )
+    n_lists = len(cent)
+    dsub = books.shape[2]
 
     order = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
     list_to_q: dict[int, list[int]] = {}
@@ -484,19 +678,8 @@ def ivfpq_knn(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
             )
             lists = np.argmax(norm @ self.cent.T, axis=1)
-            # PQ-encode the whole batch, one subspace at a time (argmin L2)
-            sub = norm.reshape(len(norm), -1)
-            codes = np.empty((len(norm), len(self.books)), dtype=np.int64)
-            dsub_ = self.books.shape[2]
-            for j in range(len(self.books)):
-                x = sub[:, j * dsub_ : (j + 1) * dsub_]
-                cb = self.books[j]
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
-                codes[:, j] = np.argmin(d2, axis=1)
+            # PQ-encode the whole batch (shared kernel with ivfpq_build)
+            codes = _pq_encode(norm, self.books)
             jidx = np.arange(len(self.books))
             qidx, vidx, svals = [], [], []
             for c, qs in self.l2q.items():

@@ -364,3 +364,32 @@ def test_ivfpq_dim_guard(ray_session):
     ds, mat = _embedding_ds(n=50, d=10, seed=3)
     with pytest.raises(ValueError, match="not divisible"):
         ivfpq_knn(ds, mat[:2].astype(np.float64), m=4, id_col="vec_id")
+
+
+def test_ivfpq_codes_table_matches_per_batch_path(ray_session):
+    """The materialized-codes build/search split returns EXACTLY the
+    per-batch ivfpq_knn result (same training, same encoder, same ADC
+    scores), and the codes table has the m-bytes-per-vector shape."""
+    from entitylinking_ray.stages.knn import ivfpq_build, ivfpq_knn, ivfpq_search
+
+    ds, mat = _embedding_ds(n=400, d=24, seed=5)
+    queries = mat[:4].astype(np.float64)
+    want = ivfpq_knn(
+        ds, queries, k=10, n_lists=16, n_probe=4, m=4, ks=16, id_col="vec_id"
+    ).take_all()
+    codes_ds, cent, books = ivfpq_build(
+        ds, n_lists=16, m=4, ks=16, id_col="vec_id"
+    )
+    codes_ds = codes_ds.materialize()
+    rows = codes_ds.take_all()
+    assert len(rows) == 400
+    assert all(len(r["pq_codes"]) == 4 for r in rows)
+    got = ivfpq_search(
+        codes_ds, cent, books, queries, k=10, n_probe=4, id_col="vec_id"
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    gs = {(r["query_id"], r["vec_id"]): r["score"] for r in got}
+    ws = {(r["query_id"], r["vec_id"]): r["score"] for r in want}
+    for kk in ws:
+        np.testing.assert_allclose(gs[kk], ws[kk], atol=1e-12)
