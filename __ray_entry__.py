@@ -7,7 +7,7 @@ here (or in the ``entitylinking_ray`` library) calls ``ray.init()`` /
 - ``entry()``: flagship entity-resolution pipeline over the canonical
   interleaved text+media corpus, sized from the sf0.001 documents table.
 - ``queries()``: one callable per implemented operator/pipeline from
-  SURVEY.md §2 plus the engine's training-data additions — 93
+  SURVEY.md §2 plus the engine's training-data additions — 94
   pipelines (see ``entitylinking_ray.queries``). Registry order is the
   driver's RUN order: every oracled query sorts before the rows-only
   ones so a bounded driver window verifies the full oracle set.
