@@ -12,12 +12,15 @@ Scale shapes:
 - ``doc_ngrams`` is batch-local and fully vectorized (one regex split,
   flat tokens + parent indices, shifted C-level concats).
 - ``contamination_hits`` broadcasts the DISTINCT benchmark grams via one
-  ``ray.put`` — the benchmark side (eval suites) is small by nature —
-  and probes membership with pandas ``isin`` (a C-level hash probe)
-  inside ``map_batches``: the corpus side never shuffles.
+  ``ray.put`` and probes membership with pandas ``isin`` (a C-level hash
+  probe) inside ``map_batches``: the corpus side never shuffles. It is
+  the small-scale leg; ``contamination_hits_join`` is the no-broadcast
+  leg and ``contamination_hits_auto`` switches on corpus size.
 - ``prepare_corpus_packed`` composes curation, decontamination and
-  sequence packing into one lazy pipeline whose only shuffles are the
-  fingerprint-bucket dedup and the prefix bucket-partials pass.
+  sequence packing; below its size switches the only shuffles are the
+  fingerprint-bucket dedup and the prefix bucket-partials pass, above
+  them the bloom semi/anti joins add their bounded exchanges (see the
+  function docstring for which object each switch bounds).
 """
 
 from __future__ import annotations
