@@ -91,6 +91,17 @@ class EngineConfig:
     # distributed star-contraction path runs (the 10^12-doc scale path).
     # Both paths produce identical labels (min member id) — tested.
     cc_driver_max_edges: int = 2_000_000
+    # Above the driver bound, up to this many bucketed contraction passes
+    # run first (co-locate node neighborhoods, contract to star edges):
+    # each pass bounds the surviving edges by 2x the node count, so any
+    # graph with <= cc_driver_max_edges NODES lands on the driver kernel
+    # after one pass (the 400k-doc measured cliff: join-based label
+    # rounds on 2.9M edges cost ~10 min; contraction + driver finish
+    # costs seconds). Early passes may grow the row count before minima
+    # concentrate (measured: 4.6M -> 6.0M -> 4.7M -> 4.6M -> 2.0M ->
+    # 1.6M at ~1-3 s per pass), so the budget is generous; join rounds
+    # remain the terminal path beyond it.
+    cc_contract_passes: int = 8
 
     # --- execution sizing ---
     score_batch_size: int = 8192

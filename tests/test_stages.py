@@ -291,3 +291,41 @@ def test_block_key_batch_matches_per_row_loop():
                 )
             )
     assert got_rows == sorted(want_rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_contraction_path_identical():
+    """The bucketed-contraction path (edges above a tiny driver bound,
+    contraction passes shrink them, driver kernel finishes) produces
+    exactly the pure-driver labels on a multi-component graph with
+    chains, cliques and singletons."""
+    rng = np.random.default_rng(17)
+    # 40 chains of length 30 + random intra-chain extra edges
+    ea, eb = [], []
+    for c in range(40):
+        ids = [f"n{c:02d}_{i:03d}" for i in range(30)]
+        for i in range(29):
+            ea.append(ids[i]); eb.append(ids[i + 1])
+        for _ in range(10):
+            i, j = rng.integers(0, 30, 2)
+            if i != j:
+                ea.append(ids[i]); eb.append(ids[j])
+    edges = pa.table({"doc_id_a": ea, "doc_id_b": eb})
+    nodes = ray.data.from_arrow(
+        pa.table({"node": sorted({*ea, *eb} | {"zz_iso_1", "zz_iso_2"})})
+    )
+    ds = ray.data.from_arrow(edges).repartition(6)
+    driver = connected_components(
+        ds, nodes=nodes, config=EngineConfig(), nodes_cover_endpoints=True
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    # force contraction: bound smaller than the edge count but > the
+    # contracted star count, so passes + driver finish both engage
+    contract = connected_components(
+        ds, nodes=nodes,
+        config=EngineConfig(cc_driver_max_edges=1600, cc_contract_passes=8),
+        nodes_cover_endpoints=True,
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert driver.equals(contract)
+    # singletons label themselves
+    sing = contract[contract["node"] == "zz_iso_1"]
+    assert sing["label"].tolist() == ["zz_iso_1"]
