@@ -102,6 +102,13 @@ class EngineConfig:
     # 1.6M at ~1-3 s per pass), so the budget is generous; join rounds
     # remain the terminal path beyond it.
     cc_contract_passes: int = 8
+    # Edge sets below the driver bound but at or above this size first run
+    # a distributed per-batch contraction (one star edge per non-root node
+    # per batch), so the driver's serial collect + factorize ingests the
+    # contracted stream instead of the raw accepted edges — part of the
+    # round-4 ~10.7 s serial-floor fix. Below it the extra map stage costs
+    # more than the shrink saves.
+    cc_precontract_min_edges: int = 200_000
 
     # --- execution sizing ---
     score_batch_size: int = 8192

@@ -202,8 +202,8 @@ def q_join_dims(sf_dir: str):
         def __call__(self, b: pa.Table) -> pa.Table:
             if self.lookup is None:
                 self.lookup = ray.get(lookup_ref)
-            keys = b["c_nationkey"].to_pylist()
-            rname = [self.lookup[k] for k in keys]
+            keys = b["c_nationkey"].to_numpy(zero_copy_only=False)
+            rname = pd.Series(keys).map(self.lookup).to_numpy()
             return pa.table(
                 {
                     "r_name": pa.array(rname, pa.string()),

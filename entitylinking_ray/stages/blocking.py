@@ -191,7 +191,7 @@ def _pairs_in_bucket(
     w = cfg.hot_block_window
     ia_parts: list[np.ndarray] = []
     ib_parts: list[np.ndarray] = []
-    key_idx_parts: list[np.ndarray] = []
+    band_parts: list[np.ndarray] = []
     for s, e in _group_slices(keys):
         n = e - s
         if n < 2:
@@ -202,18 +202,25 @@ def _pairs_in_bucket(
             iu, ju = _window_pairs(n, w)
         ia_parts.append(iu + s)
         ib_parts.append(ju + s)
-        key_idx_parts.append(np.full(len(iu), s, dtype=np.int64))
+        # key family is constant per equal-key run: ONE startswith per
+        # run, broadcast to its pairs — not one per pair (VERDICT r4 #2)
+        band_parts.append(np.full(len(iu), keys[s].startswith("B"), dtype=bool))
     if not ia_parts:
         return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
     ia = np.concatenate(ia_parts)
     ib = np.concatenate(ib_parts)
-    kx = np.concatenate(key_idx_parts)
+    is_band = np.concatenate(band_parts)
     # duplicate doc rows under the same key (possible when the same doc/key
     # row appears twice) produce self-pairs — drop them vectorized
     keep = ids[ia] != ids[ib]
+    if not keep.all():
+        # prune self-pairs before the mh-prefix gather (tiny, keeps masks aligned)
+        ia, ib, is_band = ia[keep], ib[keep], is_band[keep]
     if require_flag_col is not None:
         flag = g.column(require_flag_col).to_numpy(zero_copy_only=False).astype(bool)
-        keep &= flag[ia] | flag[ib]
+        keep = flag[ia] | flag[ib]
+        if not keep.all():
+            ia, ib, is_band = ia[keep], ib[keep], is_band[keep]
     # LSH verify: pairs from band keys ("B...") must pass a MinHash-prefix
     # Jaccard estimate; exact-name and media keys are trusted. This is the
     # standard verify step after LSH banding — random band collisions
@@ -222,10 +229,9 @@ def _pairs_in_bucket(
     flat = pc.list_flatten(g.column("mh_prefix"))  # honors offsets/order
     mh_mat = flat.to_numpy(zero_copy_only=False).reshape(len(g), vp)
     est = (mh_mat[ia] == mh_mat[ib]).mean(axis=1)
-    is_band = np.array([k.startswith("B") for k in keys[kx]], dtype=bool)
-    keep &= (~is_band) | (est >= cfg.lsh_verify_min_jaccard)
+    keep = (~is_band) | (est >= cfg.lsh_verify_min_jaccard)
     if not keep.all():
-        ia, ib, kx = ia[keep], ib[keep], kx[keep]
+        ia, ib = ia[keep], ib[keep]
 
     ia_pa = pa.array(ia)
     ib_pa = pa.array(ib)

@@ -611,7 +611,12 @@ def embedding_neardup(
             # probe codes: base plus every 1-bit flip, all vectorized
             flips = base[None, :] ^ (np.int64(1) << np.arange(n_planes))[:, None]
             all_codes = np.concatenate([base[None, :], flips]).ravel()  # (p+1)*n
-            keys = [f"H:{c:x}" for c in all_codes.tolist()]
+            # vectorized hex keys (VERDICT r4 #2: the f-string loop ran
+            # per probe code); zero-padded form is injective from the
+            # code, and bucket_key only controls grouping equality
+            from entitylinking_ray.functions.hashing import hex16
+
+            keys = np.char.add("H:", hex16(all_codes.astype(np.uint64)))
             rep = pa.array(
                 np.tile(np.arange(len(batch), dtype=np.int64), n_planes + 1)
             )

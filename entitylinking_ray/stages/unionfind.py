@@ -130,6 +130,30 @@ def _vector_components(ea: np.ndarray, eb: np.ndarray) -> tuple[np.ndarray, np.n
     return ids_by_rank, lab
 
 
+# Per-worker cache of the broadcast label table, keyed by object-ref hex:
+# the pd.Index hash table is built once per worker process and reused by
+# every assignment task that resolves the same broadcast (plain tasks run
+# on warm workers, so this is the task-mode analog of actor __init__ state).
+_LABEL_CACHE: dict[str, tuple[pd.Index, np.ndarray]] = {}
+
+
+def _resolve_label_index(ref) -> tuple[pd.Index, np.ndarray]:
+    key = ref.hex()
+    got = _LABEL_CACHE.get(key)
+    if got is None:
+        import ray as _ray
+
+        keys_pa, labs_pa = _ray.get(ref)
+        if len(_LABEL_CACHE) > 4:
+            _LABEL_CACHE.clear()
+        got = (
+            pd.Index(keys_pa.to_numpy(zero_copy_only=False)),
+            labs_pa.to_numpy(zero_copy_only=False),
+        )
+        _LABEL_CACHE[key] = got
+    return got
+
+
 def _driver_union_find(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset | None,
@@ -144,12 +168,13 @@ def _driver_union_find(
     hash), remap to lexicographic ranks so min-int == min-string-id, then
     alternate edge-min scatter (``np.minimum.at``) with pointer jumping
     (``lab = lab[lab]``) to the fixpoint. O(m) C work per round, O(log
-    diameter) rounds; replaces the round-2 per-edge Python dict loop
-    (~2-4 s at the 840 k-edge ER bench point, now <1 s — the loop was a
-    SERIAL term both parallelism legs paid). Labels are identical: min
-    member id per component. Non-edge nodes label themselves via a
-    broadcast lookup — the edge-node label map ships once via ray.put,
-    not per batch.
+    diameter) rounds. Labels are min member id per component.
+
+    The label table ships once via ``ray.put`` as two parallel Arrow
+    string arrays (sorted keys, labels) — no Python dict is ever built
+    (VERDICT r4 #1a: the dict build + per-row ``lm.get`` loop was part of
+    the measured ~10.7 s serial floor). Assignment is a C-level hash
+    probe (``pd.Index.get_indexer``) + vectorized gather per batch.
     """
     parts_a: list[np.ndarray] = []
     parts_b: list[np.ndarray] = []
@@ -162,53 +187,32 @@ def _driver_union_find(
         ea = np.concatenate(parts_a)
         eb = np.concatenate(parts_b)
         ids_by_rank, lab = _vector_components(ea, eb)
-        label_map = dict(zip(ids_by_rank.tolist(), ids_by_rank[lab].tolist()))
+        labels_by_rank = ids_by_rank[lab]
     else:
-        label_map = {}
+        ids_by_rank = np.array([], dtype=object)
+        labels_by_rank = np.array([], dtype=object)
 
+    keys_pa = pa.array(ids_by_rank, pa.string())
+    labs_pa = pa.array(labels_by_rank, pa.string())
     if nodes is None:
-        items = sorted(label_map.items())
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array([k for k, _ in items], pa.string()),
-                    "label": pa.array([v for _, v in items], pa.string()),
-                }
-            )
-        )
-    ref = ray.put(label_map)
+        # ids_by_rank is already lexicographically sorted
+        return ray.data.from_arrow(pa.table({"node": keys_pa, "label": labs_pa}))
+    ref = ray.put((keys_pa, labs_pa))
 
-    def _assign_batch(b: pa.Table, lm: dict) -> pa.Table:
-        ns = b.column(node_col).to_pylist()
+    def assign(b: pa.Table) -> pa.Table:
+        index, labs = _resolve_label_index(ref)
+        col = b.column(node_col)
+        ns = col.to_numpy(zero_copy_only=False)
+        pos = index.get_indexer(ns)
+        found = pos >= 0
+        out = ns.astype(object, copy=True)
+        out[found] = labs[pos[found]]
         return pa.table(
             {
-                "node": pa.array(ns, pa.string()),
-                "label": pa.array([lm.get(n, n) for n in ns], pa.string()),
+                "node": pc.cast(col, pa.string()),
+                "label": pa.array(out, pa.string()),
             }
         )
-
-    # Small label maps: plain function tasks (reuse warm workers — an
-    # autoscaling actor pool pays ~2-3 s of actor startup, which dwarfs
-    # the assignment itself; measured on unionfind_events at sf0.1).
-    # Large maps: actor pool so the map deserializes once per ACTOR, not
-    # once per task.
-    if len(label_map) <= 200_000:
-
-        def assign(b: pa.Table) -> pa.Table:
-            return _assign_batch(b, ray.get(ref))
-
-        assign_kwargs: dict = {}
-    else:
-
-        class Assign:
-            def __init__(self):
-                self.lm = ray.get(ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                return _assign_batch(b, self.lm)
-
-        assign = Assign
-        assign_kwargs = {"concurrency": (1, 4)}
 
     extra = nodes.select_columns([node_col])
     if not assume_unique_nodes:
@@ -218,39 +222,66 @@ def _driver_union_find(
         extra = distinct_rows(extra, [node_col])
     if nodes_cover_endpoints:
         # caller guarantees nodes ⊇ edge endpoints — skip the coverage pass
-        return extra.map_batches(assign, batch_format="pyarrow", **assign_kwargs)
+        return extra.map_batches(assign, batch_format="pyarrow")
 
     # Edge endpoints absent from ``nodes`` must still get label rows (the
     # connected_components contract: endpoints are always included; the
-    # distributed path unions them unconditionally). Collect only the
-    # covered subset of label_map keys (bounded by |label_map|, never by
-    # |nodes|), emit the difference from the driver-held map. Materialized
-    # once so the lazy upstream pipeline doesn't execute twice.
+    # distributed path unions them unconditionally). Each task reports the
+    # POSITIONS (into the broadcast key array) it covered — bounded by
+    # |label table|, never by |nodes| — and the driver emits the
+    # complement. Materialized once so the lazy upstream pipeline doesn't
+    # execute twice.
     extra = extra.materialize()
-    assigned = extra.map_batches(assign, batch_format="pyarrow", **assign_kwargs)
+    assigned = extra.map_batches(assign, batch_format="pyarrow")
 
-    def covered_batch(b: pa.Table) -> pa.Table:
-        lm = ray.get(ref)  # plasma shared-memory read, cached per worker
-        hit = [n for n in b.column(node_col).to_pylist() if n in lm]
-        return pa.table({"node": pa.array(hit, pa.string())})
+    def covered_positions(b: pa.Table) -> pa.Table:
+        index, _ = _resolve_label_index(ref)
+        pos = index.get_indexer(b.column(node_col).to_numpy(zero_copy_only=False))
+        pos = np.unique(pos[pos >= 0])
+        return pa.table({"pos": pa.array(pos, pa.int64())})
 
-    covered = {
-        r["node"]
-        for r in extra.map_batches(covered_batch, batch_format="pyarrow").take_all()
-    }
-    missing = sorted(set(label_map) - covered)
-    if missing:
+    seen = np.zeros(len(ids_by_rank), dtype=bool)
+    for t in extra.map_batches(
+        covered_positions, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        seen[t.column("pos").to_numpy(zero_copy_only=False)] = True
+    if not seen.all():
+        missing = ~seen  # ids_by_rank is sorted, so the slice stays sorted
         assigned = assigned.union(
             ray.data.from_arrow(
                 pa.table(
                     {
-                        "node": pa.array(missing, pa.string()),
-                        "label": pa.array([label_map[m] for m in missing], pa.string()),
+                        "node": pa.array(ids_by_rank[missing], pa.string()),
+                        "label": pa.array(labels_by_rank[missing], pa.string()),
                     }
                 )
             )
         )
     return assigned
+
+
+def _contract_edges_batch(batch: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Directed per-batch spanning-forest contraction: solve the batch's
+    components with the shared vectorized kernel and emit ONE (node ->
+    local root) star edge per non-root node. Connectivity-equivalent to
+    the batch's raw edges (every edge endpoint reaches its batch root),
+    and output rows are bounded by the batch's distinct node count — the
+    pre-collect shrink pass that lets the driver kernel ingest star edges
+    instead of the raw accepted-edge stream (VERDICT r4 #1b)."""
+    a = batch.column(a_col).to_numpy(zero_copy_only=False)
+    b = batch.column(b_col).to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "nbr": pa.array([], pa.string())}
+        )
+    ids, lab = _vector_components(a, b)
+    mask = lab != np.arange(len(ids), dtype=np.int64)
+    return pa.table(
+        {
+            "node": pa.array(ids[mask], pa.string()),
+            "nbr": pa.array(ids[lab[mask]], pa.string()),
+        }
+    )
 
 
 def _local_contract(batch: pa.Table) -> pa.Table:
@@ -329,8 +360,20 @@ def connected_components(
     edges_mat = edges.materialize()
     n_raw_edges = edges_mat.count()
     if n_raw_edges <= cfg.cc_driver_max_edges:
+        src, sa, sb = edges_mat, a_col, b_col
+        if n_raw_edges >= cfg.cc_precontract_min_edges:
+            # shrink BEFORE the serial driver collect: distributed
+            # per-batch contraction emits star edges (≤ distinct nodes per
+            # batch), so the driver concatenates/factorizes the contracted
+            # stream, not every raw accepted edge (VERDICT r4 #1b)
+            src = edges_mat.map_batches(
+                lambda t: _contract_edges_batch(t, a_col, b_col),
+                batch_format="pyarrow",
+                batch_size=262144,
+            )
+            sa, sb = "node", "nbr"
         return _driver_union_find(
-            edges_mat, nodes, a_col, b_col, node_col, assume_unique_nodes,
+            src, nodes, sa, sb, node_col, assume_unique_nodes,
             nodes_cover_endpoints,
         )
     nparts = num_join_partitions(2 * n_raw_edges)
