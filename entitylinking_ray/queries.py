@@ -1978,9 +1978,12 @@ def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
     so per-doc term counts never shuffle); df is one groupby-sum over
     per-batch-distinct (tok, count) partials. Below the size switch the
     df result is broadcast once via ray.put; above it NOTHING
-    vocabulary-sized touches the driver — tf rows join df rows through a
-    hash-bucketed shuffle on tok, then the per-doc top-k re-groups on a
-    doc_id bucket (VERDICT r3 #1b)."""
+    vocabulary-sized touches the driver — and the df AGGREGATE is folded
+    into the tf⨝df join (VERDICT r4 #5): both key on tok, so the raw df
+    partials ride the same tok-hash shuffle as the tf rows and are
+    summed inside the join bucket before the merge (integer Sum is
+    associative — exact), dropping one of the three sort barriers. The
+    per-doc top-k then re-groups on a doc_id bucket (VERDICT r3 #1b)."""
     from entitylinking_ray.functions.textnorm import normalize_arrow
     from entitylinking_ray.stages.blocking import _bucket_of, _n_buckets
 
@@ -2008,12 +2011,6 @@ def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
         d = pairs.drop_duplicates().groupby("tok", sort=False).size()
         return pd.DataFrame({"tok": d.index, "d": d.to_numpy().astype("int64")})
 
-    df_ds = (
-        ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("d", alias_name="df"))
-    )
-
     def rank_doc_group(tf: pd.DataFrame) -> pd.DataFrame:
         tf = tf.sort_values(
             ["doc_id", "tf", "df", "tok"], ascending=[True, False, True, True]
@@ -2022,6 +2019,11 @@ def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
         return tf[tf["rn"] <= 3][["doc_id", "tok", "tf", "df", "rn"]]
 
     if ds.count() <= broadcast_max_docs:
+        df_ds = (
+            ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("tok")
+            .aggregate(Sum("d", alias_name="df"))
+        )
         df_map = {r["tok"]: int(r["df"]) for r in df_ds.take_all()}
         df_ref = ray.put(df_map)
 
@@ -2073,27 +2075,33 @@ def q_top_terms(sf_dir: str, broadcast_max_docs: int | None = None):
         )
         return tf[["tok", "doc_id", "tf", "df", "_hb"]]
 
-    def df_side(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
+    def df_side(b: pa.Table) -> pd.DataFrame:
+        # RAW per-batch df partials, sentinel-tagged (tf = -1): they ride
+        # the same tok-hash shuffle as the tf rows and are summed inside
+        # join_bucket — no separate df-aggregate barrier (VERDICT r4 #5)
+        p = df_partial(b)
+        if len(p) == 0:
             return empty_side
         out = pd.DataFrame(
-            {"tok": b["tok"],
+            {"tok": p["tok"],
              "doc_id": np.int64(-1),
              "tf": np.int64(-1),
-             "df": b["df"].astype("int64"),
-             "_hb": np.asarray(_bucket_of(b["tok"].to_numpy(), nb))}
+             "df": p["d"].astype("int64"),
+             "_hb": np.asarray(_bucket_of(p["tok"].to_numpy(), nb))}
         )
         return out[["tok", "doc_id", "tf", "df", "_hb"]]
 
     merged = ds.map_batches(tf_side, batch_format="pyarrow").union(
-        df_ds.map_batches(df_side, batch_format="pandas")
+        ds.map_batches(df_side, batch_format="pyarrow")
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return empty_side.rename(columns={"_hb": "_db"})
         is_df = g["tf"].to_numpy() == -1
-        dfm = g[is_df][["tok", "df"]]
+        dfm = (
+            g[is_df].groupby("tok", sort=False)["df"].sum().reset_index()
+        )
         tfm = g[~is_df][["tok", "doc_id", "tf"]]
         out = tfm.merge(dfm, on="tok", how="left")
         out["df"] = out["df"].fillna(0).astype("int64")
@@ -5131,9 +5139,34 @@ FROM c
 
 
 QUERIES = {
-    # --- oracled queries first, fastest first: dict order is the
-    # driver's run order, and its verification window is bounded —
-    # every SQL-checkable query must land inside it (VERDICT r3 #3)
+    # --- oracled queries first: dict order is the driver's run order,
+    # and its verification window is bounded (50 in round 4) — so
+    # coverage ROTATES (VERDICT r4 #3): the 21 oracled queries the
+    # round-4 window did NOT reach run first this round, then the
+    # previously-verified ones; tools/check_queries.py full sweeps cover
+    # whatever falls outside the window (log committed per round).
+    "group_mode": q_group_mode,
+    "curate_corpus": q_curate_corpus,
+    "set_overlap_join": q_set_overlap_join,
+    "agg_groupby": q_agg_groupby,
+    "ner_f1": q_ner_f1,
+    "dedup_jaccard_md5": q_dedup_jaccard_md5,
+    "relation_edges": q_relation_edges,
+    "unionfind_events": q_unionfind_events,
+    "outer_join": q_outer_join,
+    "revenue_by_nation": q_revenue_by_nation,
+    "join_large": q_join_large,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_simhash": q_dedup_simhash,
+    "entity_linking": q_entity_linking,
+    "filter_project": q_filter_project,
+    "prepare_corpus": q_prepare_corpus,
+    "bm25_rank": q_bm25_rank,
+    "entity_linking_blocked": q_entity_linking_blocked,
+    "per_corpus_accuracy": q_per_corpus_accuracy,
+    "recall_at_k": q_recall_at_k,
+    "per_type_accuracy": q_per_type_accuracy,
+    # --- oracled, driver-verified in round 4 (CORRECTNESS_r04) ---
     "sample_hash": q_sample_hash,
     "strip_markup": q_strip_markup,
     "anti_join": q_anti_join,
@@ -5184,27 +5217,6 @@ QUERIES = {
     "lm_unigram": q_lm_unigram,
     "top_terms": q_top_terms,
     "bloom_semi_join": q_bloom_semi_join,
-    "group_mode": q_group_mode,
-    "curate_corpus": q_curate_corpus,
-    "set_overlap_join": q_set_overlap_join,
-    "agg_groupby": q_agg_groupby,
-    "ner_f1": q_ner_f1,
-    "dedup_jaccard_md5": q_dedup_jaccard_md5,
-    "relation_edges": q_relation_edges,
-    "unionfind_events": q_unionfind_events,
-    "outer_join": q_outer_join,
-    "revenue_by_nation": q_revenue_by_nation,
-    "join_large": q_join_large,
-    "dedup_minhash_md5": q_dedup_minhash_md5,
-    "dedup_simhash": q_dedup_simhash,
-    "entity_linking": q_entity_linking,
-    "filter_project": q_filter_project,
-    "prepare_corpus": q_prepare_corpus,
-    "bm25_rank": q_bm25_rank,
-    "entity_linking_blocked": q_entity_linking_blocked,
-    "per_corpus_accuracy": q_per_corpus_accuracy,
-    "recall_at_k": q_recall_at_k,
-    "per_type_accuracy": q_per_type_accuracy,
     # --- rows-only queries (no SQL-expressible oracle) run last
     "knn_lsh": q_knn_lsh,
     "quantiles_sketch": q_quantiles_sketch,

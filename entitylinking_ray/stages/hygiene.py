@@ -241,8 +241,10 @@ def prepare_corpus_packed(
     curated = curate_corpus(
         ds, min_quality=min_quality, lang=lang, min_tokens=min_tokens
     )
-    n_docs = ds.count()
-    broadcast = n_docs <= broadcast_max_docs
+    # a non-positive switch forces the distributed path with NO corpus
+    # count pass (callers forcing a path shouldn't pay a full execution
+    # of a lazy input just to confirm the decision)
+    broadcast = broadcast_max_docs > 0 and ds.count() <= broadcast_max_docs
 
     def drop_bench_add_key(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
