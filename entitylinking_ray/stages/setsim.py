@@ -31,6 +31,16 @@ Scale shape:
   overlap = |A| + |B| - |A ∪ B| with no per-pair Python loop;
   duplicate candidates from multiple shared prefix tokens are removed
   by a first-wins groupby on the pair key before emission.
+
+Barrier count (VERDICT r4 #5 considered and declined): unlike
+``q_top_terms`` — whose df aggregate keys on the same column as its
+join and was folded into one shuffle — the final pair-dedup barrier
+here is semantically required: the same pair surfaces from prefix
+tokens that hash to DIFFERENT buckets, so removing it needs either
+pair co-location (this shuffle, over id-only rows bounded by the
+match count) or shipping every row's full df-ordered prefix with each
+posting to decide a canonical generating token in-bucket — a fan-out
+of prefix-length² per record that costs more than the barrier saves.
 """
 
 from __future__ import annotations
