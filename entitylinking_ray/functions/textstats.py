@@ -54,6 +54,78 @@ def lang_id(text: str) -> str:
     return best_lang
 
 
+def lang_from_unique_pairs(ur, ucode, uniq_tokens, n_rows: int):
+    """Vectorized :func:`lang_id` over DISTINCT (row, token) pairs given
+    as parallel arrays of row index (``ur``) and dictionary code
+    (``ucode``) into ``uniq_tokens``. Replicates the scalar kernel
+    exactly: per-language score = number of DISTINCT marker words
+    present in the row, strictly-greater argmax starting from
+    ("und", 0), languages visited in code order. Returns an object
+    ndarray of language codes, one per row."""
+    import numpy as np
+    import pandas as pd
+
+    best_score = np.zeros(n_rows, dtype=np.int64)
+    best_lang = np.full(n_rows, "und", dtype=object)
+    uniq_pd = pd.Series(uniq_tokens)
+    for lang in sorted(LANG_MARKERS):
+        mask_u = uniq_pd.isin(LANG_MARKERS[lang]).to_numpy()
+        sc = np.bincount(ur[mask_u[ucode]], minlength=n_rows)
+        upd = sc > best_score
+        best_lang[upd] = lang
+        best_score[upd] = sc[upd]
+    return best_lang
+
+
+def distinct_row_token_pairs(parent, flat):
+    """Exact distinct (row, token) pairs from a flattened token table:
+    Arrow dictionary-encode makes token codes (one C hash pass over the
+    strings), a single int64 composite key + ``pd.unique`` (hash-based,
+    unsorted) makes the pairs distinct — no Python-object sorting or
+    per-row sets. Returns (ur, ucode, uniq_tokens)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(flat, np.ndarray):
+        flat = pa.array(flat)
+    codes = pc.dictionary_encode(flat)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    uniq_tokens = codes.dictionary.to_numpy(zero_copy_only=False)
+    codes_np = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = np.int64(max(1, len(uniq_tokens)))
+    key = parent.astype(np.int64) * k + codes_np
+    ukeys = pd.unique(key)
+    return (ukeys // k).astype(np.int64), (ukeys % k).astype(np.int64), uniq_tokens
+
+
+def lang_from_flat_tokens(parent, flat, n_rows: int):
+    """Vectorized :func:`lang_id` over a flattened token table (row index
+    + token strings, duplicates allowed)."""
+    ur, ucode, uniq_tokens = distinct_row_token_pairs(parent, flat)
+    return lang_from_unique_pairs(ur, ucode, uniq_tokens, n_rows)
+
+
+def lang_id_batch(texts):
+    """Vectorized :func:`lang_id` over an Arrow string array (one
+    normalize + split kernel pass, C-level marker membership); pinned
+    equal to the scalar kernel in pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from entitylinking_ray.functions.textnorm import normalize_arrow
+
+    norm = normalize_arrow(pc.fill_null(pc.cast(texts, pa.string()), ""))
+    toks = pc.split_pattern(norm, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    return lang_from_flat_tokens(parent, flat, len(texts))
+
+
 def fingerprint(text: str) -> str:
     """Document fingerprint: md5 hex of the normalized text (stable across
     whitespace/case variation). Matches DuckDB's

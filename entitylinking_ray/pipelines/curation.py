@@ -28,8 +28,6 @@ import ray.data
 
 import hashlib
 
-from entitylinking_ray.functions.textstats import lang_id
-from entitylinking_ray.functions.textnorm import normalize
 
 
 def curate_corpus(
@@ -50,20 +48,43 @@ def curate_corpus(
     nb = _n_buckets()
 
     def stats(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from entitylinking_ray.functions.textnorm import normalize_arrow
+        from entitylinking_ray.functions.textstats import (
+            distinct_row_token_pairs,
+            lang_from_unique_pairs,
+        )
+
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        texts = b.column(text_col).to_pylist()
-        norm = [normalize(t or "") for t in texts]
-        toks = [t.split(" ") for t in norm]
-        n_tok = np.array([len(t) for t in toks], dtype=np.int64)
-        n_dis = np.array([len(set(t)) for t in toks], dtype=np.int64)
+        n = len(b)
+        # ONE normalize + split kernel pass shared by every statistic
+        # (token count, lexical diversity, language id, fingerprint) —
+        # the per-row normalize/split/set/lang_id loops this replaces
+        # were the last per-row Python on the curation hot path
+        norm_pa = normalize_arrow(
+            pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        )
+        if isinstance(norm_pa, pa.ChunkedArray):
+            norm_pa = norm_pa.combine_chunks()
+        toks = pc.split_pattern(norm_pa, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        # one dictionary-encode + hash-unique pass yields the distinct
+        # (row, token) pairs that feed BOTH lexical diversity and lang-id
+        ur, ucode, uniq_toks = distinct_row_token_pairs(
+            parent, pc.list_flatten(toks)
+        )
+        n_dis = np.bincount(ur, minlength=n).astype(np.int64)
         ratio = n_dis / n_tok
         qual = 0.5 * np.minimum(1.0, n_tok / 100.0) + 0.5 * ratio
-        langs = np.array([lang_id(t or "") for t in texts], dtype=object)
+        langs = lang_from_unique_pairs(ur, ucode, uniq_toks, n)
         keep = (qual >= min_quality) & (langs == lang) & (n_tok >= min_tokens)
+        norm_np = norm_pa.to_numpy(zero_copy_only=False)
         fp = [
-            hashlib.md5(n.encode("utf-8")).hexdigest()
-            for n, k in zip(norm, keep)
-            if k
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm_np[keep]
         ]
         out = pd.DataFrame(
             {

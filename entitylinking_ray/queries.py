@@ -25,7 +25,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.util import read_parquet_clean, strip_schema_metadata
 from entitylinking_ray.functions.strsim import jaro_winkler_batch, levenshtein
-from entitylinking_ray.functions.textstats import LANG_MARKERS, lang_id
+from entitylinking_ray.functions.textstats import LANG_MARKERS
 from entitylinking_ray.functions.textnorm import normalize, normalize_arrow
 from entitylinking_ray.stages.dedup import exact_dedup, minhash_dedup, simhash_dedup
 from entitylinking_ray.stages.knn import brute_force_knn
@@ -654,16 +654,18 @@ FROM toks
 
 
 def q_langid(sf_dir: str):
-    """Stopword-marker language ID (deterministic argmax, ties by code)."""
+    """Stopword-marker language ID (deterministic argmax, ties by code);
+    vectorized batch kernel (one normalize+split pass, C-level marker
+    membership), pinned equal to the scalar ``lang_id`` in pytest."""
+    from entitylinking_ray.functions.textstats import lang_id_batch
+
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def li(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "lang_pred": pa.array(
-                    [lang_id(t or "") for t in b["text"].to_pylist()], pa.string()
-                ),
+                "lang_pred": pa.array(lang_id_batch(b["text"]), pa.string()),
             }
         )
 

@@ -114,6 +114,34 @@ def test_lang_id_deterministic():
     assert lang_id("xyzzy plugh") == "und"
 
 
+def test_lang_id_batch_equals_scalar():
+    """The vectorized batch kernel must replicate the scalar lang_id
+    row-for-row — including ties (strictly-greater argmax in language
+    code order), empty/None texts, duplicate markers (set semantics),
+    and cross-language marker overlap ('la' es+fr, 'de' de+zh)."""
+    import pyarrow as pa
+
+    from entitylinking_ray.functions.textstats import lang_id_batch
+
+    texts = [
+        "the cat and the dog is here to see",
+        "xyzzy plugh",
+        "",
+        None,
+        "la la la le le",                      # duplicates; es/fr overlap
+        "el la los que y es",                   # es full house
+        "le la les et que est",                 # fr full house
+        "der die das und nicht ist",            # de
+        "de shi le bu wo zai",                  # zh markers ('de' de+zh)
+        "the el le der la",                     # 4-way near-tie
+        "  The   AND  Of   ",                   # case + whitespace runs
+        "a of is de que",                       # mixed
+    ]
+    got = lang_id_batch(pa.array(texts, pa.string()))
+    want = [lang_id(t or "") for t in texts]
+    assert list(got) == want
+
+
 def test_fingerprint_whitespace_invariant():
     assert fingerprint("Hello  World") == fingerprint("hello world")
     assert fingerprint("a") != fingerprint("b")
