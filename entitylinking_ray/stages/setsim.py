@@ -119,12 +119,15 @@ def set_overlap_join(
     nb = _n_buckets()
 
     # ---- pass 2: prefix postings (token_bucket, token, id, token-set) ----
-    def postings(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"_hb": pd.array([], dtype="int32"),
-             "tok": pd.Series([], dtype="object"),
-             "id": pd.Series([], dtype="int64"),
-             "set": pd.Series([], dtype="object")}
+    def postings(b: pd.DataFrame):
+        # typed Arrow empty: an empty OBJECT-dtype pandas column trips
+        # Ray's block-size estimator (np.vectorize on size-0 input) and
+        # logs one worker error line per empty batch
+        empty = pa.table(
+            {"_hb": pa.array([], pa.int32()),
+             "tok": pa.array([], pa.string()),
+             "id": pa.array([], pa.int64()),
+             "set": pa.array([], pa.binary())}
         )
         dfm = ray.get(df_ref)
         texts = pa.array(b[text_col].astype(str))
@@ -194,9 +197,20 @@ def set_overlap_join(
         )
 
     # ---- pass 3: in-bucket candidate pairs + exact verify ----
-    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # typed empty for zero-row hash partitions (Ray's size estimator
+    # trips on empty object-dtype pandas columns). int64 ids match the
+    # engine's contract for this operator (q_set_overlap_join /
+    # SQL_SET_OVERLAP_JOIN); string-id callers would need an id-type
+    # parameter here.
+    _EMPTY_PAIRS = pa.table(
+        {"id_a": pa.array([], pa.int64()),
+         "id_b": pa.array([], pa.int64()),
+         "overlap": pa.array([], pa.int64())}
+    )
+
+    def pairs_bucket(g: pd.DataFrame):
         if len(g) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "overlap": []})
+            return _EMPTY_PAIRS
         g = g.sort_values(["tok", "id"], kind="mergesort").reset_index(drop=True)
         toks = g["tok"].to_numpy()
         ids = g["id"].to_numpy()
@@ -217,7 +231,7 @@ def set_overlap_join(
             ia_parts.append(iu + s)
             ib_parts.append(ju + s)
         if not ia_parts:
-            return pd.DataFrame({"id_a": [], "id_b": [], "overlap": []})
+            return _EMPTY_PAIRS
         ia = np.concatenate(ia_parts)
         ib = np.concatenate(ib_parts)
         a_ids = np.minimum(ids[ia], ids[ib])
