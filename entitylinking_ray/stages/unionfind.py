@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min
 
 from entitylinking_ray.config import EngineConfig
 from entitylinking_ray.util import num_join_partitions, sanitize_blocks
@@ -66,8 +66,19 @@ def _checksum(labels: ray.data.Dataset) -> int:
         s = int(h.sum(dtype=np.uint64))
         return pa.table({"partial": pa.array([s], type=pa.uint64())})
 
-    res = labels.map_batches(partial, batch_format="pyarrow").aggregate(Sum("partial"))
-    return int(res["sum(partial)"] or 0)
+    # Sum the one-row-per-block partials on the driver with explicit
+    # uint64 wraparound. Ray's Sum aggregate accumulates as an unbounded
+    # Python int and converts the total to int64 — partials near 2^64
+    # overflow that conversion (ArrowConversionError, seen live on the
+    # join-rounds path). The partials stream is O(#blocks) 8-byte rows,
+    # so the driver pass is bounded at any corpus scale.
+    parts = labels.map_batches(partial, batch_format="pyarrow")
+    total = np.uint64(0)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        col = b.column("partial").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            total = np.uint64(total + col.sum(dtype=np.uint64))
+    return int(total)
 
 
 def symmetrize_edges(
@@ -308,6 +319,21 @@ def _local_contract(batch: pa.Table) -> pa.Table:
     )
 
 
+def _canonical_star(batch: pa.Table) -> pa.Table:
+    """Canonicalize symmetric star edges to (min, max) undirected form so
+    a distinct pass can collapse the duplicates a bucketed contraction
+    emits (each star edge appears in both directions AND from every
+    bucket that saw one of its endpoints)."""
+    a = batch.column("node").to_numpy(zero_copy_only=False)
+    b = batch.column("nbr").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "node": pa.array(np.minimum(a, b), pa.string()),
+            "nbr": pa.array(np.maximum(a, b), pa.string()),
+        }
+    )
+
+
 def _contract_bucket_pass(edges_sym: ray.data.Dataset) -> ray.data.Dataset:
     """One global contraction pass: co-locate every node's incident
     edges by a node-hash bucket shuffle, run the vectorized component
@@ -387,34 +413,53 @@ def connected_components(
 
     # Bucketed contraction passes (the 400k-doc cliff fix): each pass
     # co-locates node neighborhoods and contracts them to star edges, so
-    # the surviving edge count drops toward 2x the node count; once it
-    # fits the driver bound the exact driver kernel finishes in seconds
+    # the surviving edge count drops toward the distinct node count; once
+    # it fits the driver bound the exact driver kernel finishes in seconds
     # instead of join-based label rounds taking minutes. The join rounds
     # below remain the terminal path for graphs whose NODE count exceeds
     # the bound (the 10^12-doc regime).
+    #
+    # Each pass is contraction + CANONICAL DISTINCT (the 800k-doc cliff
+    # fix): the raw pass output carries every star edge in both
+    # directions and re-emitted from every bucket that saw one of its
+    # endpoints, so its row count plateaus 2-4x above the true undirected
+    # edge count and — measured at 800k docs — NEVER crosses the driver
+    # bound (fixpoint 3.18M rows vs bound 2M, then 75 s + 160 s of join
+    # rounds). Deduping the (min, max) form instead converges in 3 passes
+    # (3.5M -> 3.2M -> 0.88M canonical edges, ~18 s total) and the bound
+    # check compares like with like: the driver kernel ingests undirected
+    # edges, so it is gated on the undirected count.
     driver_bound = max(0, cfg.cc_driver_max_edges)
+    from entitylinking_ray.util import distinct_rows
+
     stalled = 0
     for _pass in range(cfg.cc_contract_passes):
-        if n_edges == 0 or n_edges <= driver_bound:
+        if n_edges == 0:
             break
-        contracted = sanitize_blocks(
-            _contract_bucket_pass(edges_sym)
+        canon = sanitize_blocks(
+            distinct_rows(
+                _contract_bucket_pass(edges_sym).map_batches(
+                    _canonical_star, batch_format="pyarrow"
+                ),
+                ["node", "nbr"],
+            )
         ).materialize()
-        new_n = contracted.count()
-        # early passes can GROW the row count (foreign vertices emit star
-        # edges in several buckets before the minima concentrate —
-        # measured 4.6M -> 6.0M -> 4.7M -> 4.6M -> 2.0M -> 1.6M on the
-        # 400k-doc graph); only bail to the join rounds after two
-        # consecutive non-shrinking passes
-        stalled = stalled + 1 if new_n >= n_edges else 0
-        edges_sym, n_edges = contracted, new_n
+        n_canon = canon.count()
+        if n_canon <= driver_bound:
+            return _driver_union_find(
+                canon, nodes, "node", "nbr", node_col, assume_unique_nodes,
+                nodes_cover_endpoints,
+            )
+        # converged above the bound (node count > driver bound — the
+        # 10^12-doc regime): fall through to the join-based label rounds
+        stalled = stalled + 1 if 2 * n_canon >= n_edges else 0
+        # lazy re-symmetrize: consumed exactly once by the next pass's
+        # bucket shuffle (or materialized below for the join rounds)
+        edges_sym = sanitize_blocks(symmetrize_edges(canon, "node", "nbr"))
+        n_edges = 2 * n_canon
         if stalled >= 2:
             break
-    if 0 < n_edges <= driver_bound:
-        return _driver_union_find(
-            edges_sym, nodes, "node", "nbr", node_col, assume_unique_nodes,
-            nodes_cover_endpoints,
-        )
+    edges_sym = edges_sym.materialize()  # join rounds re-read it per round
 
     identity = lambda b: pa.table(  # noqa: E731
         {"node": b.column("node"), "label": b.column("node")}

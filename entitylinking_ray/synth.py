@@ -79,7 +79,16 @@ class CorpusSpec:
         total = self.hot_size
         g = 1
         while total < n_docs:
-            if n_docs > 250_000:
+            if n_docs > 500_000:
+                # unbounded corpora: average group size scales with n_docs
+                # so the group COUNT stays under the 40k distinct-name cap
+                # at any scale (density grows, names don't run out); the
+                # <= 500k tiers below are frozen so previously measured
+                # corpora (200k, 400k) stay byte-identical
+                avg = max(12, n_docs // 36_000)
+                half = max(5, avg // 2)
+                s = (avg - half) + _mix(seed, g, 7) % (2 * half + 1)
+            elif n_docs > 250_000:
                 # very large corpora: bigger groups keep the group count
                 # under the 40k distinct-name cap (and add pair density,
                 # which is what a scaling corpus should stress)

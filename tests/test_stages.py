@@ -176,6 +176,27 @@ def test_connected_components_random_graph_paths_agree(ray_session):
     assert d1 == d2
 
 
+def test_checksum_uint64_total_no_overflow(ray_session):
+    """The convergence checksum must survive totals above int64 max: per-block
+    partials are uint64 and the cross-block sum wraps in uint64, never flowing
+    through an int64 Arrow conversion (Ray's Sum aggregate did, and crashed with
+    ArrowConversionError when multi-block totals crossed 2^63 — seen live on the
+    join-rounds path). Stability across repartitionings is what the join rounds
+    rely on for fixpoint detection."""
+    from entitylinking_ray.stages.unionfind import _checksum
+
+    tbl = pa.table(
+        {
+            "node": pa.array([f"n{i}" for i in range(50_000)], pa.string()),
+            "label": pa.array([f"l{i}" for i in range(50_000)], pa.string()),
+        }
+    )
+    c_many = _checksum(ray.data.from_arrow(tbl).repartition(20))
+    c_few = _checksum(ray.data.from_arrow(tbl).repartition(3))
+    assert c_many == c_few
+    assert 0 <= c_many < 2**64
+
+
 def test_minhash_sigs_vectorized_matches_per_doc_loop():
     """The batch-vectorized _MinHashSigs emits bit-identical
     (bucket_key, id, payload) rows to a straight per-doc reference using
