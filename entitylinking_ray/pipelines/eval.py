@@ -240,7 +240,22 @@ def recall_at_k(
         ),
         batch_format="pyarrow",
     )
-    cand = sanitize_blocks(pairs.select_columns(["pair_key"]))
+    def _cand_keys(b: pa.Table) -> pa.Table:
+        # candidate pairs no longer carry a materialized pair_key (it is
+        # derived, never shuffled); accept either shape
+        if "pair_key" in b.schema.names:
+            return b.select(["pair_key"])
+        return pa.table(
+            {
+                "pair_key": pa.compute.binary_join_element_wise(
+                    b.column("doc_id_a").cast(pa.string()),
+                    b.column("doc_id_b").cast(pa.string()),
+                    "|",
+                )
+            }
+        )
+
+    cand = sanitize_blocks(pairs.map_batches(_cand_keys, batch_format="pyarrow"))
     hit = pk.join(cand, join_type="inner", num_partitions=nparts, on=("pair_key",))
     n_pos = pk.count()
     n_hit = hit.count()

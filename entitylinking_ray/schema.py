@@ -59,7 +59,11 @@ BLOCK_KEYS_SCHEMA = pa.schema(
 # keep-first dedup is deterministic without it.
 PAIRS_SCHEMA = pa.schema(
     [
-        ("pair_key", pa.string()),  # f"{a}|{b}" with a < b
+        # the pair key f"{a}|{b}" (a < b) is DERIVED from the id columns
+        # wherever needed, never shipped: it is the widest string in the
+        # pair row and rode through the dedup shuffle redundantly (~20%
+        # of the shuffled bytes at the 94M-pair point, which is
+        # spill-bound on a single node)
         ("doc_id_a", pa.string()),
         ("doc_id_b", pa.string()),
         ("name_a", pa.string()),  # normalized names (raw token order)

@@ -237,10 +237,8 @@ def _pairs_in_bucket(
     ib_pa = pa.array(ib)
     a_ids = ids_arr.take(ia_pa)
     b_ids = ids_arr.take(ib_pa)
-    pair_key = pc.binary_join_element_wise(a_ids, b_ids, "|")
     return pa.table(
         {
-            "pair_key": pair_key,
             "doc_id_a": a_ids,
             "doc_id_b": b_ids,
             "name_a": g.column("name_norm").take(ia_pa),
@@ -251,15 +249,21 @@ def _pairs_in_bucket(
 
 
 def _dedup_bucket(group: pa.Table) -> pa.Table:
-    """Keep one row per pair_key — vectorized: sort by pair_key, take run
-    starts (rows of one pair are identical, so keep-first is
-    deterministic)."""
-    order = pc.sort_indices(group, sort_keys=[("pair_key", "ascending")])
+    """Keep one row per (doc_id_a, doc_id_b) — vectorized: sort by the id
+    pair, take run starts (rows of one pair are identical, so keep-first
+    is deterministic). Equivalent to the former pair_key sort (pair_key
+    was f"{a}|{b}" and ids contain no "|", so the orders agree on
+    distinctness) without shipping the derived key through the shuffle."""
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("doc_id_a", "ascending"), ("doc_id_b", "ascending")],
+    )
     g = group.take(order)
-    keys = g.column("pair_key").to_numpy(zero_copy_only=False)
-    if len(keys) == 0:
+    a = g.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = g.column("doc_id_b").to_numpy(zero_copy_only=False)
+    if len(a) == 0:
         return g
-    change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+    change = np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1
     starts = np.concatenate(([0], change))
     return g.take(pa.array(starts, pa.int64()))
 
@@ -277,8 +281,8 @@ def candidate_pairs(
     pairs here would force a mid-pipeline materialize of the pair stream,
     measured ~40% slower at the 16-cpu 200k-doc point):
     - ``True`` (and the ``None`` default — the scale-safe choice): the
-      dedup shuffle is partitioned by the NAME-pair hash. Equal pair_keys
-      imply equal names, so grouping by pair_key within a name-hash
+      dedup shuffle is partitioned by the NAME-pair hash. Equal id pairs
+      imply equal names, so deduping by the id pair within a name-hash
       bucket is still exact — and all duplicate NAME pairs (the scorer's
       memo-cache hits) land in the same output block, making the scoring
       actors' cache hit rate independent of pool size (measured r2: a
@@ -305,7 +309,9 @@ def candidate_pairs(
                 b.column("name_a"), b.column("name_b"), "|"
             )
         else:
-            key_col = b.column("pair_key")
+            key_col = pc.binary_join_element_wise(
+                b.column("doc_id_a"), b.column("doc_id_b"), "|"
+            )
         from entitylinking_ray.util import strip_schema_metadata
 
         return strip_schema_metadata(b).append_column(
