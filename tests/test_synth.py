@@ -78,3 +78,33 @@ def test_labeled_pairs():
     truth = {r["doc_id"]: r["group_id"] for r in truth_table(300, 42).to_pylist()}
     for x, z, m in zip(a, b, y):
         assert (truth[x] == truth[z]) == m
+
+
+def test_group_count_bounded_at_any_scale():
+    """The >500k tier scales average group size with n_docs so the group
+    COUNT stays under the 40k distinct-name cap at any corpus size (the
+    base_name allocator raises past 40k groups); the <=500k tiers are
+    frozen so previously measured stress corpora stay byte-identical."""
+    for n in (800_000, 1_600_000, 6_400_000, 100_000_000):
+        spec = CorpusSpec(n, 42)
+        assert spec.n_groups < 40_000, (n, spec.n_groups)
+        # every group must actually be nameable
+        spec.base_name(spec.n_groups - 1)
+        assert int(spec.sizes.sum()) == n
+
+
+def test_le_500k_tiers_frozen():
+    """Adding the >500k tier must not perturb the 200k/400k stress
+    corpora the recorded benchmarks were measured on."""
+    for n, first_sizes in (
+        (200_000, None),  # shape-only pin below
+        (400_000, None),
+    ):
+        spec = CorpusSpec(n, 42)
+        # tier rule replay: 200k -> 2 + mix % 9, 400k -> 4 + mix % 15
+        from entitylinking_ray.synth import _mix
+
+        lo, mod = (2, 9) if n <= 250_000 else (4, 15)
+        expect = [lo + _mix(42, g, 7) % mod for g in range(1, 6)]
+        got = [int(s) for s in spec.sizes[1:6]]
+        assert got == expect, (n, got, expect)
