@@ -13,6 +13,17 @@ No function in this package calls ``ray.init()`` — sessions are owned by
 the caller (driver / tests / bench.py).
 """
 
+# Eager fsspec import (belt-and-braces for the lazy-import race): Ray's
+# path resolution does ``import fsspec`` lazily from worker/driver threads
+# (ray/data/datasource/path_util.py:_is_http_filesystem), and a concurrent
+# first import can observe a partially initialized module (circular-import
+# AttributeError). Importing it here — on every process that loads this
+# package — makes the lazy import a no-op lookup.
+try:  # pragma: no cover - environment-dependent
+    import fsspec  # noqa: F401
+except Exception:  # ImportError or fsspec's own init failure — non-fatal
+    pass
+
 from entitylinking_ray.config import EngineConfig
 
 __version__ = "0.1.0"

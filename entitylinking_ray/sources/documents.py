@@ -67,8 +67,16 @@ def read_documents_files(paths: list[str]) -> ray.data.Dataset:
 
 
 def read_labeled_jsonl(path: str) -> ray.data.Dataset:
-    """Read a labeled JSONL corpus (one JSON object per line)."""
-    return ray.data.read_json(path)
+    """Read a labeled JSONL corpus (one JSON object per line).
+
+    ``partitioning=None``: labeled corpora are plain files, never
+    hive-partitioned directories. The default hive ``Partitioning`` runs a
+    per-task path filter whose lazy ``import fsspec`` races Python's
+    circular-import machinery when a FRESH worker's read tasks resolve
+    paths concurrently (observed ~5%% of cold pytest runs:
+    ``AttributeError: partially initialized module 'fsspec'``). Skipping
+    the partition filter removes the import from the task entirely."""
+    return ray.data.read_json(path, partitioning=None)
 
 
 def read_labeled_corpora(paths: list[str] | str) -> ray.data.Dataset:
@@ -79,7 +87,9 @@ def read_labeled_corpora(paths: list[str] | str) -> ray.data.Dataset:
     ``corpus`` column = file basename without extension."""
     import os
 
-    ds = ray.data.read_json(paths, include_paths=True)
+    # partitioning=None: see read_labeled_jsonl — avoids the lazy
+    # ``import fsspec`` race inside fresh workers' read tasks.
+    ds = ray.data.read_json(paths, include_paths=True, partitioning=None)
 
     def add_corpus(b: pa.Table) -> pa.Table:
         names = [

@@ -212,3 +212,31 @@ def test_catalog_from_wikidata(ray_session, tmp_path):
     assert rows["Q42"]["aliases"] == ["D. Adams", "DNA"]
     assert rows["Q99"]["title"] == "Unknown"  # no en label
     assert rows["Q99"]["aliases"] == []
+
+
+def test_read_json_calls_disable_partitioning():
+    """Regression pin for the fsspec circular-import race: every
+    ``ray.data.read_json`` call in the package must pass
+    ``partitioning=None``. The default hive ``Partitioning`` runs a
+    per-read-task path filter whose lazy ``import fsspec`` can observe a
+    partially initialized module when a fresh worker's tasks resolve
+    paths concurrently (flaked ~5% of cold pytest runs before the fix)."""
+    import ast
+    import pathlib
+
+    import entitylinking_ray
+
+    pkg_root = pathlib.Path(entitylinking_ray.__file__).parent
+    offenders = []
+    for path in pkg_root.rglob("*.py"):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
+                continue
+            if node.func.attr != "read_json":
+                continue
+            kw = {k.arg: k.value for k in node.keywords}
+            part = kw.get("partitioning")
+            if not (isinstance(part, ast.Constant) and part.value is None):
+                offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, f"read_json without partitioning=None: {offenders}"
