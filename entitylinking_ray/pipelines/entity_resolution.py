@@ -87,7 +87,7 @@ def run_checkpointed(
         """Build-or-load one stage; returns (dataset, fingerprint)."""
         if resume and man.is_complete(name, fingerprint):
             summary["stages"][name] = {"resumed": True}
-            return ray.data.read_parquet(man.stage_dir(name)), fingerprint
+            return ray.data.read_parquet(man.stage_dir(name), partitioning=None), fingerprint
         t0 = time.time()
         ds = build()
         tmp = man.open_tmp(name)
@@ -106,12 +106,12 @@ def run_checkpointed(
                 )),
                 os.path.join(tmp, "empty.parquet"),
             )
-        out = ray.data.read_parquet(tmp)
+        out = ray.data.read_parquet(tmp, partitioning=None)
         rows = out.count()
         man.commit(name, fingerprint, rows, time.time() - t0)
         summary["stages"][name] = {"resumed": False, "rows": rows,
                                    "wall_sec": round(time.time() - t0, 3)}
-        return ray.data.read_parquet(man.stage_dir(name)), fingerprint
+        return ray.data.read_parquet(man.stage_dir(name), partitioning=None), fingerprint
 
     def run_map_stage_partitioned(
         name: str, fingerprint: str, input_files: list[str], build, n_partitions: int
@@ -146,7 +146,7 @@ def run_checkpointed(
                     ),
                     os.path.join(tmp, "empty.parquet"),
                 )
-            rows = ray.data.read_parquet(tmp).count()
+            rows = ray.data.read_parquet(tmp, partitioning=None).count()
             man.commit_partition(name, i, part_fp, rows, time.time() - t0)
             done += 1
         man.prune_partitions(name, len(chunks))
@@ -167,7 +167,7 @@ def run_checkpointed(
                 glob.glob(os.path.join(man.partition_dir(name, i), "*.parquet"))
             )
         ]
-        return ray.data.read_parquet(part_files)
+        return ray.data.read_parquet(part_files, partitioning=None)
 
     ch = cfg.config_hash()
     base_fp = f"{input_path}|{ch}"

@@ -42,6 +42,17 @@ def read_parquet_clean(path: str, columns: list[str] | None = None, **kw):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # partitioning=None: engine-internal tables are plain files — hive
+    # key=value path parsing would inject stray columns (and its lazy
+    # per-task ``import fsspec`` can race on fresh workers; see
+    # sources/documents.py:read_labeled_jsonl). Only when no column
+    # projection is given: Ray 2.49's parquet datasource raises
+    # UnboundLocalError on columns=[...] + partitioning=None
+    # (_infer_data_and_partition_columns leaves partition_columns
+    # unassigned), and an explicit ``columns`` list already filters any
+    # stray hive column out of the result.
+    if columns is None:
+        kw.setdefault("partitioning", None)
     try:
         f = path[0] if isinstance(path, (list, tuple)) else path
         if os.path.isdir(f):

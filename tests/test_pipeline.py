@@ -233,3 +233,23 @@ def test_manifest_prunes_stale_partitions(tmp_path):
     assert os.path.isdir(man2.partition_dir("sig", 0))
     # persisted: a fresh Manifest sees the pruned state
     assert Manifest(str(tmp_path)).partition_rows_total("sig") == 20
+
+
+def test_internal_parquet_reads_ignore_hive_layout(ray_session, tmp_path):
+    """Engine-internal parquet reads must not parse key=value path
+    segments into columns: the checkpoint layout is stage=<name>/part=<i>,
+    so the default hive Partitioning would inject stray 'stage'/'part'
+    columns into every resumed read-back (and its lazy per-task
+    ``import fsspec`` can race on fresh workers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from entitylinking_ray.util import read_parquet_clean
+
+    d = str(tmp_path / "stage=sigs" / "part=0")
+    os.makedirs(d)
+    pq.write_table(pa.table({"a": [1, 2]}), os.path.join(d, "f.parquet"))
+    got = read_parquet_clean(str(tmp_path / "stage=sigs"))
+    assert got.schema().names == ["a"]
+    assert sorted(r["a"] for r in got.take_all()) == [1, 2]

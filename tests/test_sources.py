@@ -215,12 +215,17 @@ def test_catalog_from_wikidata(ray_session, tmp_path):
 
 
 def test_read_json_calls_disable_partitioning():
-    """Regression pin for the fsspec circular-import race: every
-    ``ray.data.read_json`` call in the package must pass
-    ``partitioning=None``. The default hive ``Partitioning`` runs a
-    per-read-task path filter whose lazy ``import fsspec`` can observe a
-    partially initialized module when a fresh worker's tasks resolve
-    paths concurrently (flaked ~5% of cold pytest runs before the fix)."""
+    """Regression pin for the fsspec circular-import race and the hive
+    stray-column bug: every ``ray.data.read_json`` / ``read_parquet``
+    call in the package must pass ``partitioning=None``. The default
+    hive ``Partitioning`` (a) runs a per-read-task path filter whose
+    lazy ``import fsspec`` can observe a partially initialized module
+    when a fresh worker's tasks resolve paths concurrently (flaked ~5%
+    of cold pytest runs before the fix), and (b) parses key=value path
+    segments — the checkpoint layout is stage=<name>/part=<i> — into
+    stray columns. Calls that spread ``**kw`` (read_parquet_clean's
+    internals, which setdefault it) are covered by the functional test
+    in test_pipeline.py instead."""
     import ast
     import pathlib
 
@@ -233,10 +238,12 @@ def test_read_json_calls_disable_partitioning():
         for node in ast.walk(tree):
             if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
                 continue
-            if node.func.attr != "read_json":
+            if node.func.attr not in ("read_json", "read_parquet"):
+                continue
+            if any(k.arg is None for k in node.keywords):  # **kw spread
                 continue
             kw = {k.arg: k.value for k in node.keywords}
             part = kw.get("partitioning")
             if not (isinstance(part, ast.Constant) and part.value is None):
                 offenders.append(f"{path}:{node.lineno}")
-    assert not offenders, f"read_json without partitioning=None: {offenders}"
+    assert not offenders, f"read without partitioning=None: {offenders}"
